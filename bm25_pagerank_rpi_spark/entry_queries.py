@@ -1,0 +1,417 @@
+"""Registry of driver-checkable (Spark query, DuckDB oracle SQL) pairs.
+
+Each pair exercises one operator family from SURVEY.md §2 on the
+driver-provided tables at ``sf_dir`` (documents / lineitem / orders /
+events / embeddings...). Spark results and oracle SQL agree on column
+names and rounding (floats -> 6 dp) so the driver's order-insensitive
+value-hash matches.
+
+The reference query used throughout the BM25 family includes a duplicate
+term ("table" twice — multiplicity semantics, features_test.go:498-513)
+and an absent term ("zzzabsent" — missing-idf skip, features.go:127-129).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .operators import scorer
+
+QUERY_TEXT = "key value hash join table table spark zzzabsent"
+QUERY_TERMS = QUERY_TEXT.split()
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([("q1", QUERY_TEXT)], "query_id string, text string")
+
+
+def _r(col, n: int = 6):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE skeleton implementing the exact scoring relations on the
+# `documents` view (doc_id BIGINT, text VARCHAR). Token semantics: documents
+# text is single-space separated (generator), so string_split on ' ' with
+# empty-token filtering == the T1 whitespace-run tokenizer on this data.
+# ---------------------------------------------------------------------------
+
+def _qterms_values() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in enumerate(QUERY_TERMS))
+
+
+SQL_SKELETON = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qterms AS (
+  SELECT * FROM (VALUES {_qterms_values()}) AS v(pos, term)
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY term
+),
+idf AS (
+  SELECT term, df, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM term_df
+),
+cand AS (
+  SELECT DISTINCT doc_tf.doc_id
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+),
+occ AS (
+  SELECT q.pos, q.term, c.doc_id, dt.tf, i.idf, dl.doc_length,
+         s.avg_doc_length, s.doc_count
+  FROM qterms q
+  CROSS JOIN cand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  LEFT JOIN idf i ON i.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id,
+    count(*) AS n_terms,
+    max(doc_length) AS stream_length,
+    sum(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END)::INT AS covered_query_term_number,
+    sum(CASE WHEN tf IS NOT NULL AND idf IS NOT NULL
+        THEN idf * (tf * {K1 + 1.0}) /
+             (tf + {K1} * ({1.0 - B} + {B} * (doc_length / avg_doc_length)))
+        ELSE 0.0 END) AS bm25,
+    sum(coalesce(tf, 0))::BIGINT AS sum_tf,
+    min(coalesce(tf, 0))::BIGINT AS min_tf,
+    max(coalesce(tf, 0))::BIGINT AS max_tf,
+    avg(coalesce(tf, 0)) AS mean_tf,
+    var_pop(coalesce(tf, 0)) AS var_tf,
+    sum(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS s_ntf,
+    min(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS mn_ntf,
+    max(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS mx_ntf,
+    avg(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS me_ntf,
+    var_pop(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS v_ntf,
+    count(CASE WHEN idf IS NOT NULL THEN 1 END) AS n_idf_terms,
+    sum(CASE WHEN idf IS NOT NULL THEN coalesce(tf, 0) * idf END) AS s_tfidf,
+    min(CASE WHEN idf IS NOT NULL THEN coalesce(tf, 0) * idf END) AS mn_tfidf,
+    max(CASE WHEN idf IS NOT NULL THEN coalesce(tf, 0) * idf END) AS mx_tfidf,
+    avg(CASE WHEN idf IS NOT NULL THEN coalesce(tf, 0) * idf END) AS me_tfidf,
+    var_pop(CASE WHEN idf IS NOT NULL THEN coalesce(tf, 0) * idf END) AS v_tfidf
+  FROM occ
+  GROUP BY doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 — tokenizer / doc length
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_lengths",
+    SQL_SKELETON + "SELECT doc_id, doc_length FROM doc_len",
+)
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scorer.doc_lengths(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A1 — per-doc term frequencies (posting union as hash agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_term_frequencies",
+    SQL_SKELETON + "SELECT doc_id, term, tf FROM doc_tf",
+)
+def q_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scorer.doc_term_frequencies(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A2/S4 — corpus statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_stats",
+    SQL_SKELETON
+    + "SELECT doc_count, round(avg_doc_length, 6) AS avg_doc_length FROM stats",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = scorer.corpus_stats(scorer.doc_lengths(_docs(spark, sf_dir)))
+    return out.select("doc_count", _r("avg_doc_length").alias("avg_doc_length"))
+
+
+# ---------------------------------------------------------------------------
+# A3 — smoothed IDF over the query's terms
+# ---------------------------------------------------------------------------
+
+@register(
+    "term_idf",
+    SQL_SKELETON + "SELECT term, df, round(idf, 6) AS idf FROM idf",
+)
+def q_term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dtf = scorer.doc_term_frequencies(docs)
+    stats = scorer.corpus_stats(scorer.doc_lengths(docs))
+    terms = _queries_df(spark).select(
+        F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    out = scorer.term_idf(dtf, stats, terms)
+    return out.select("term", "df", _r("idf").alias("idf"))
+
+
+# ---------------------------------------------------------------------------
+# A7 + O1/O2/O3 — BM25 top-k with deterministic tie-break and rank
+# (ranks computed on the 6-dp-rounded score so both engines break the same
+#  near-ties the same way; engine-internal 1e-12 parity is pinned in pytest)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bm25_topk",
+    SQL_SKELETON
+    + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs),
+        dlen,
+        scorer.corpus_stats(dlen),
+        _queries_df(spark),
+    ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    return scorer.topk(sc, 20).select("doc_id", "bm25", "rank")
+
+
+# ---------------------------------------------------------------------------
+# A4 — TF stats  /  A5 — normalized-TF stats  /  A6 — TF-IDF stats  /
+# A8 — covered-term count+ratio, all per candidate doc
+# ---------------------------------------------------------------------------
+
+def _feature_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    return scorer.score_candidates(
+        scorer.doc_term_frequencies(docs),
+        dlen,
+        scorer.corpus_stats(dlen),
+        _queries_df(spark),
+    )
+
+
+@register(
+    "tf_stats",
+    SQL_SKELETON
+    + """
+SELECT doc_id, sum_tf, min_tf, max_tf,
+       round(mean_tf, 6) AS mean_tf, round(var_tf, 6) AS var_tf
+FROM perdoc
+""",
+)
+def q_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feature_block(spark, sf_dir).select(
+        "doc_id", "sum_tf", "min_tf", "max_tf",
+        _r("mean_tf").alias("mean_tf"), _r("var_tf").alias("var_tf"),
+    )
+
+
+@register(
+    "norm_tf_stats",
+    SQL_SKELETON
+    + """
+SELECT doc_id,
+       round(coalesce(s_ntf, 0.0), 6) AS sum_ntf,
+       round(coalesce(mn_ntf, 0.0), 6) AS min_ntf,
+       round(coalesce(mx_ntf, 0.0), 6) AS max_ntf,
+       round(coalesce(me_ntf, 0.0), 6) AS mean_ntf,
+       round(coalesce(v_ntf, 0.0), 6) AS var_ntf
+FROM perdoc
+""",
+)
+def q_norm_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feature_block(spark, sf_dir).select(
+        "doc_id",
+        _r("sum_ntf").alias("sum_ntf"), _r("min_ntf").alias("min_ntf"),
+        _r("max_ntf").alias("max_ntf"), _r("mean_ntf").alias("mean_ntf"),
+        _r("var_ntf").alias("var_ntf"),
+    )
+
+
+@register(
+    "tfidf_stats",
+    SQL_SKELETON
+    + """
+SELECT doc_id,
+       round(CASE WHEN n_idf_terms > 0 THEN s_tfidf ELSE 0.0 END, 6) AS sum_tfidf,
+       round(CASE WHEN n_idf_terms > 0 THEN mn_tfidf ELSE 0.0 END, 6) AS min_tfidf,
+       round(CASE WHEN n_idf_terms > 0 THEN mx_tfidf ELSE 0.0 END, 6) AS max_tfidf,
+       round(CASE WHEN n_idf_terms > 0 THEN me_tfidf ELSE 0.0 END, 6) AS mean_tfidf,
+       round(CASE WHEN n_idf_terms > 0 THEN v_tfidf ELSE 0.0 END, 6) AS var_tfidf
+FROM perdoc
+""",
+)
+def q_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feature_block(spark, sf_dir).select(
+        "doc_id",
+        _r("sum_tfidf").alias("sum_tfidf"), _r("min_tfidf").alias("min_tfidf"),
+        _r("max_tfidf").alias("max_tfidf"), _r("mean_tfidf").alias("mean_tfidf"),
+        _r("var_tfidf").alias("var_tfidf"),
+    )
+
+
+@register(
+    "covered_terms",
+    SQL_SKELETON
+    + """
+SELECT doc_id, covered_query_term_number,
+       round(covered_query_term_number::DOUBLE / n_terms, 6) AS covered_query_term_ratio
+FROM perdoc
+""",
+)
+def q_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feature_block(spark, sf_dir).select(
+        "doc_id",
+        "covered_query_term_number",
+        _r("covered_query_term_ratio").alias("covered_query_term_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 general form — per-partition top-k window over events (rank/limit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_topk_per_user",
+    """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC)::INT AS rank
+  FROM events
+) WHERE rank <= 3
+""",
+)
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 analog — bulk metadata joins replacing the reference's per-doc RPC
+# fan-out (features.go:263-271): orders ⋈ customer ⋈ nation with agg
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_metadata_agg",
+    """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — within-qid ordered all-pairs self-join with |rel_i - rel_j| >= minDiff
+# (microsoft_dataset_creation.go:190-247), LETOR-shaped from lineitem
+# ---------------------------------------------------------------------------
+
+@register(
+    "pairwise_examples",
+    """
+SELECT a.l_orderkey AS qid,
+       a.l_linenumber AS i, b.l_linenumber AS j,
+       a.l_quantity - b.l_quantity AS rel_diff
+FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_linenumber <> b.l_linenumber
+  AND abs(a.l_quantity - b.l_quantity) >= 30
+""",
+)
+def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(
+            (F.col("a.l_linenumber") != F.col("b.l_linenumber"))
+            & (F.abs(F.col("a.l_quantity") - F.col("b.l_quantity")) >= 30)
+        )
+        .select(
+            F.col("a.l_orderkey").alias("qid"),
+            F.col("a.l_linenumber").alias("i"),
+            F.col("b.l_linenumber").alias("j"),
+            (F.col("a.l_quantity") - F.col("b.l_quantity")).alias("rel_diff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship for entry(): BM25 top-20 on sf0.001 documents
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_bm25_topk(spark, sf_dir)
