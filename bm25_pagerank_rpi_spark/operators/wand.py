@@ -1,0 +1,187 @@
+"""Block-max pruned top-k scoring over compressed posting blocks — the
+scale path (SURVEY.md §4 query-time scoring path (b)).
+
+Rank-safe impact-ordered pruning inside ``applyInPandas``: each query's
+candidate blocks are routed to one task (the posting data for a query's
+terms is bounded; the per-term work is bounded further by pruning), scored
+term-at-a-time in decreasing upper-bound order, with two protections:
+
+1. OR -> CONTINUE switch: once the k-th best candidate's GUARANTEED final
+   score (current score + sum of remaining negative potentials) exceeds the
+   maximum total a still-unseen doc could reach (sum of remaining positive
+   upper bounds), new docs can be ignored — only existing candidates keep
+   accumulating (they receive every remaining contribution, so returned
+   scores are EXACT).
+2. Block skipping in CONTINUE mode: a block whose [min_doc, max_doc] range
+   contains no current candidate is never decoded (this is where the
+   per-block metadata pays off; with doc-ordered blocks the check is a
+   binary search).
+
+Handles negative IDF terms (features_test.go:77-89: idf = ln(N/(df+1)) can
+be negative) — their upper bound for unseen docs is 0 (a doc that lacks the
+term contributes nothing), and their negative potential is accounted in the
+guarantee above.
+
+Upper bounds use the stored per-block factor bounds:
+  contribution(doc, term) = weight * factor, weight = multiplicity * idf
+  ub(term)  = max(w*max_factor, w*min_factor) over its blocks
+  lb(term)  = min(w*min_factor, w*max_factor, 0)
+
+Property-pinned equivalent to the exact scorer (tests/test_wand.py):
+identical doc sets and ranks, scores within 1e-12.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import MAX_DOCUMENTS
+from ..index import codec
+from ..sources.catalog import IndexCatalog
+from . import scorer
+
+WAND_SCHEMA = "query_id string, doc_int long, bm25 double"
+
+
+def _score_one_query(pdf: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Run impact-ordered pruned scoring for one query's block set.
+
+    pdf columns: term, weight, block rows (count, min_doc, max_doc,
+    max_factor, min_factor, docs_enc, tfs_enc, factors_enc, block_id).
+    Returns (top_doc_ints, top_scores) sorted by (score desc, doc_int asc).
+    """
+    terms = []
+    for term, g in pdf.groupby("term", sort=False):
+        w = float(g["weight"].iloc[0])
+        g = g.sort_values("block_id")
+        ub = max(
+            (max(w * r.max_factor, w * r.min_factor) for r in g.itertuples()),
+            default=0.0,
+        )
+        lb = min(
+            (min(w * r.max_factor, w * r.min_factor) for r in g.itertuples()),
+            default=0.0,
+        )
+        terms.append({"w": w, "blocks": g, "pos_ub": max(ub, 0.0), "neg_lb": min(lb, 0.0)})
+    terms.sort(key=lambda t: -t["pos_ub"])
+
+    n = len(terms)
+    suffix_pos = np.zeros(n + 1)
+    suffix_neg = np.zeros(n + 1)
+    for i in range(n - 1, -1, -1):
+        suffix_pos[i] = suffix_pos[i + 1] + terms[i]["pos_ub"]
+        suffix_neg[i] = suffix_neg[i + 1] + terms[i]["neg_lb"]
+
+    cand_docs = np.empty(0, dtype=np.int64)  # kept sorted
+    cand_scores = np.empty(0, dtype=np.float64)
+    or_mode = True
+
+    for i, t in enumerate(terms):
+        w = t["w"]
+        if or_mode:
+            parts_d, parts_s = [], []
+            for r in t["blocks"].itertuples():
+                d, _tf, f = codec.decode_block(r)
+                parts_d.append(d)
+                parts_s.append(w * f)
+            if parts_d:
+                d_all = np.concatenate(parts_d)
+                s_all = np.concatenate(parts_s)
+                # merge into sorted accumulator
+                merged_docs = np.concatenate([cand_docs, d_all])
+                merged_scores = np.concatenate([cand_scores, s_all])
+                uniq, inv = np.unique(merged_docs, return_inverse=True)
+                acc = np.zeros(uniq.size)
+                np.add.at(acc, inv, merged_scores)
+                cand_docs, cand_scores = uniq, acc
+            # can we stop admitting new docs?
+            if cand_docs.size >= k and suffix_pos[i + 1] < _kth_guarantee(
+                cand_scores, suffix_neg[i + 1], k
+            ):
+                or_mode = False
+        else:
+            for r in t["blocks"].itertuples():
+                lo = np.searchsorted(cand_docs, r.min_doc, side="left")
+                hi = np.searchsorted(cand_docs, r.max_doc, side="right")
+                if lo >= hi:
+                    continue  # block-max skip: no candidate in range
+                d, _tf, f = codec.decode_block(r)
+                idx = np.searchsorted(cand_docs, d)
+                idx_clipped = np.minimum(idx, cand_docs.size - 1)
+                hit = cand_docs[idx_clipped] == d
+                np.add.at(cand_scores, idx_clipped[hit], (w * f)[hit])
+
+    order = np.lexsort((cand_docs, -cand_scores))[:k]
+    return cand_docs[order], cand_scores[order]
+
+
+def _kth_guarantee(scores: np.ndarray, tail_neg: float, k: int) -> float:
+    """k-th largest guaranteed-final score among current candidates."""
+    guaranteed = scores + tail_neg
+    if guaranteed.size <= k:
+        return float(guaranteed.min())
+    return float(np.partition(guaranteed, -k)[-k])
+
+
+def _make_wand_fn(k: int):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (query_id,) = key
+        docs, scores = _score_one_query(pdf, k)
+        return pd.DataFrame(
+            {"query_id": query_id, "doc_int": docs, "bm25": scores}
+        )
+
+    return fn
+
+
+def wand_topk(
+    cat: IndexCatalog,
+    queries: DataFrame,
+    k: int = MAX_DOCUMENTS,
+) -> DataFrame:
+    """(query_id, doc_id, doc_int, bm25, rank) — block-max pruned path,
+    rank-identical to ``query_exact.rank_from_index``."""
+    spark = cat.spark
+    # query terms with multiplicity -> weight = mult * idf (duplicate query
+    # terms contribute once per occurrence, features_test.go:498-513)
+    qocc = scorer.query_term_occurrences(queries)
+    mult = qocc.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("mult"))
+    tstats = cat.terms()  # (term, df, idf, max_factor, min_factor, bucket)
+    qt = (
+        mult.join(tstats.select("term", "idf", "bucket"), "term")
+        .select(
+            "query_id", "term", "bucket",
+            (F.col("mult").cast("double") * F.col("idf")).alias("weight"),
+        )
+    )
+    qt_rows = qt.collect()  # |queries| x |unique terms| — tiny
+    if not qt_rows:
+        return _empty_result(cat)
+    buckets = sorted({r.bucket for r in qt_rows})
+    terms = sorted({r.term for r in qt_rows})
+    qt_df = spark.createDataFrame(
+        [(r.query_id, r.term, r.weight) for r in qt_rows],
+        "query_id string, term string, weight double",
+    )
+    blocks = (
+        cat.blocks()
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))      # row-group pruning
+        .join(F.broadcast(qt_df), "term")
+    )
+    result = blocks.groupBy("query_id").applyInPandas(_make_wand_fn(k), WAND_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_int"))
+    ranked = result.withColumn("rank", F.row_number().over(w))
+    meta = cat.doc_meta().select("doc_int", "doc_id")
+    return ranked.join(meta, "doc_int").select(
+        "query_id", "doc_id", "doc_int", "bm25", "rank"
+    )
+
+
+def _empty_result(cat: IndexCatalog) -> DataFrame:
+    return cat.spark.createDataFrame(
+        [], "query_id string, doc_id string, doc_int long, bm25 double, rank int"
+    )

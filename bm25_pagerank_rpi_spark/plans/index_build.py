@@ -1,0 +1,273 @@
+"""Inverted-index build pipeline: staged, salted, checkpoint-resumable.
+
+The reference consumes a prebuilt index over HTTP
+(/root/reference/internal/ranking/data_getters.go:43-76); this module is the
+native replacement the north_rule requires — posting-list construction,
+compression, segment layout, per-partition lineage + metrics.
+
+Stages (each records a manifest entry; a re-run skips completed stages —
+SURVEY.md §2.7 / §4 "checkpoint/resume"):
+
+  1. doc_meta     — tokenize, doc_length, URL identity, and a deterministic
+                    dense ``doc_int`` (ordinal of doc_id in string order:
+                    per-range partitions + per-partition row_number + offset
+                    join — no global single-partition sort, no RDDs).
+                    Also writes corpus_stats (doc_count, avg_doc_length).
+  2. postings     — explode tokens -> (term, doc_int, tf, doc_length),
+                    one hash aggregate; written term-bucketed for pruning.
+  3. blocks       — delta+varint compressed, docID-sorted posting blocks
+                    with block-max score metadata. Head-term skew is defused
+                    STRUCTURALLY: grouping key is (term, range_id) where
+                    range_id = doc_int // range_rows, so a hot term's
+                    postings split into doc-contiguous sub-groups that
+                    encode in parallel and remain globally doc-ordered —
+                    a salted repartition whose salt preserves order, making
+                    a separate segment-merge pass unnecessary.
+  4. terms        — per-term df / idf / factor bounds (query-time broadcast).
+  5. metrics      — per-bucket postings/bytes/skew-ratio lineage into the
+                    manifest (the native replacement for the reference's
+                    eval-service POST, internal/utils/evaluation.go:13-127).
+
+Scale notes: stages shuffle on (doc_id), (term, doc_int), (term, range_id)
+respectively — all well-distributed keys; AQE + the range salt bound the
+largest single task by range_rows regardless of term skew.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..functions.tokenize import tokens_col
+from ..index import codec
+from ..sources.catalog import IndexCatalog, term_bucket
+from ..sources.transcripts import with_doc_identity
+
+BLOCK_SCHEMA = (
+    "term string, block_id long, n_postings int, min_doc long, max_doc long, "
+    "max_factor double, min_factor double, "
+    "docs_enc binary, tfs_enc binary, factors_enc binary"
+)
+
+
+def _make_encode_fn(block_size: int, blocks_per_range: int):
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, range_id = key
+        doc_ints = pdf["doc_int"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        factors = pdf["factor"].to_numpy(dtype=np.float64)
+        blocks = codec.blocks_for_term(
+            doc_ints, tfs, factors, block_size=block_size,
+            first_block_id=int(range_id) * blocks_per_range,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "block_id": b["block_id"],
+                    "n_postings": b["count"],
+                    "min_doc": b["min_doc"],
+                    "max_doc": b["max_doc"],
+                    "max_factor": b["max_factor"],
+                    "min_factor": b["min_factor"],
+                    "docs_enc": b["docs_enc"],
+                    "tfs_enc": b["tfs_enc"],
+                    "factors_enc": b["factors_enc"],
+                }
+                for b in blocks
+            ]
+        )
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    block_size: int = codec.DEFAULT_BLOCK_SIZE,
+    range_rows: int = 1 << 20,
+    resume: bool = True,
+) -> IndexCatalog:
+    """Run (or resume) the full build. Returns the catalog over ``out_dir``."""
+    cat = IndexCatalog(spark, out_dir)
+    manifest = cat.read_manifest()
+    manifest["config"] = {
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "range_rows": range_rows,
+    }
+    cat.write_manifest(manifest)
+
+    def run_stage(name: str, fn):
+        if resume and cat.stage_complete(name):
+            return
+        t0 = time.time()
+        output, rows, metrics = fn()
+        cat.record_stage(name, output, rows, time.time() - t0, metrics)
+
+    # ---- stage 1: doc_meta + corpus_stats ----------------------------------
+    def stage_doc_meta():
+        t = with_doc_identity(transcripts)
+        base = t.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "url",
+            F.size(tokens_col("text")).alias("doc_length"),
+        )
+        npart = max(spark.sparkContext.defaultParallelism, 4)
+        ranged = base.repartitionByRange(npart, "doc_id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        # persist so the count job and the ordinal job see the SAME range
+        # partitioning (range boundaries come from sampling)
+        ranged.persist()
+        # per-partition ordinal + partition offsets = global dense ordinal
+        # by doc_id order without a single-partition global sort
+        counts = ranged.groupBy("_pid").count().collect()
+        offsets, acc = {}, 0
+        for r in sorted(counts, key=lambda r: r._pid):
+            offsets[r._pid] = acc
+            acc += r["count"]
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+        w = Window.partitionBy("_pid").orderBy("doc_id")
+        meta = (
+            ranged.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn("doc_int", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+            .drop("_pid", "_rn", "_offset")
+        )
+        out = cat.write(meta, "doc_meta")
+        ranged.unpersist()
+        dlen = cat.doc_meta().select("doc_length")
+        stats = dlen.agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.avg("doc_length").alias("avg_doc_length"),
+        )
+        cat.write(stats, "corpus_stats")
+        n = cat.doc_meta().count()
+        return out, n, {"doc_count": n}
+
+    run_stage("doc_meta", stage_doc_meta)
+
+    # ---- stage 2: postings --------------------------------------------------
+    def stage_postings():
+        meta = cat.doc_meta().select("doc_id", "doc_int", "doc_length")
+        toks = with_doc_identity(transcripts).select(
+            "doc_id", F.explode(tokens_col("text")).alias("term")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        post = (
+            tf.join(meta, "doc_id")
+            .select(
+                "term", "doc_int", "tf", "doc_length",
+                term_bucket("term", n_buckets).alias("bucket"),
+            )
+        )
+        out = cat.write(post, "postings", partition_by=["bucket"])
+        n = cat.postings().count()
+        return out, n, {"postings": n}
+
+    run_stage("postings", stage_postings)
+
+    # ---- stage 3: blocks ----------------------------------------------------
+    def stage_blocks():
+        _, avgdl = cat.scalar_stats()
+        post = cat.postings()
+        tfd = F.col("tf").cast("double")
+        dl = F.col("doc_length").cast("double")
+        factor = (tfd * F.lit(K1 + 1.0)) / (
+            tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.lit(avgdl)))
+        )
+        blocks_per_range = range_rows // block_size + 1
+        enc = _make_encode_fn(block_size, blocks_per_range)
+        ranged = post.withColumn("factor", factor).withColumn(
+            "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
+        )
+        blocks = (
+            ranged.groupBy("term", "range_id")
+            .applyInPandas(enc, schema=BLOCK_SCHEMA)
+            .withColumn("bucket", term_bucket("term", n_buckets))
+        )
+        out = cat.write(blocks, "blocks", partition_by=["bucket"])
+        n = cat.blocks().count()
+        return out, n, {"blocks": n}
+
+    run_stage("blocks", stage_blocks)
+
+    # ---- stage 4: terms -----------------------------------------------------
+    def stage_terms():
+        stats = cat.corpus_stats()
+        terms = (
+            cat.blocks()
+            .groupBy("term")
+            .agg(
+                F.sum("n_postings").alias("df"),
+                F.max("max_factor").alias("max_factor"),
+                F.min("min_factor").alias("min_factor"),
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "term",
+                "df",
+                F.log(
+                    F.col("doc_count").cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                ).alias("idf"),
+                "max_factor",
+                "min_factor",
+                term_bucket("term", n_buckets).alias("bucket"),
+            )
+        )
+        out = cat.write(terms, "terms")
+        n = cat.terms().count()
+        return out, n, {"terms": n}
+
+    run_stage("terms", stage_terms)
+
+    # ---- stage 5: per-partition lineage metrics -----------------------------
+    def stage_metrics():
+        per_bucket = (
+            cat.blocks()
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_postings").alias("postings"),
+                F.count(F.lit(1)).alias("blocks"),
+                (
+                    F.sum(F.octet_length("docs_enc"))
+                    + F.sum(F.octet_length("tfs_enc"))
+                    + F.sum(F.octet_length("factors_enc"))
+                ).alias("bytes"),
+            )
+            .collect()
+        )
+        postings = [r.postings for r in per_bucket]
+        total = int(sum(postings))
+        metrics = {
+            "buckets": len(per_bucket),
+            "postings": total,
+            "bytes_compressed": int(sum(r.bytes for r in per_bucket)),
+            "bytes_per_posting": round(
+                sum(r.bytes for r in per_bucket) / max(total, 1), 3
+            ),
+            "skew_ratio": round(
+                max(postings) / (total / max(len(postings), 1)), 3
+            ) if postings else 0.0,
+            "per_bucket": [
+                {"bucket": int(r.bucket), "postings": int(r.postings),
+                 "blocks": int(r.blocks), "bytes": int(r.bytes)}
+                for r in sorted(per_bucket, key=lambda r: r.bucket)
+            ],
+        }
+        return None, total, metrics
+
+    run_stage("metrics", stage_metrics)
+    return cat

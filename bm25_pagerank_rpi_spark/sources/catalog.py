@@ -1,0 +1,120 @@
+"""Index catalog: parquet tables + JSON stage manifests.
+
+The north_rule asks for Iceberg tables with per-partition lineage manifests
+and checkpoint-resumable build stages. Iceberg jars are not available in
+this sandbox, so the catalog abstracts the storage contract the same way
+(SURVEY.md §7 hard-part (e)): each logical table is a parquet directory and
+each build stage records a manifest entry {completed, rows, seconds,
+metrics} in ``_manifest.json``. On a cluster this class is the seam where
+``spark.read.parquet`` becomes ``spark.table("catalog.db.tbl")`` and the
+manifest becomes Iceberg snapshot metadata — no other code changes.
+
+Tables:
+  doc_meta     (doc_id, doc_int, conv_id, turn_idx, role, tool, ts, url,
+                doc_length)                         — S3's metadata service
+  corpus_stats (doc_count, avg_doc_length)          — S4's stats service
+  postings     (term, doc_int, tf, doc_length, bucket) partitioned by bucket
+                                                    — S1's index service
+  blocks       (term, block_id, count, min_doc, max_doc, max_factor,
+                min_factor, docs_enc, tfs_enc, factors_enc, bucket)
+                partitioned by bucket               — compressed segments
+  terms        (term, df, idf, max_factor, min_factor) — per-term stats
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+@dataclass
+class IndexCatalog:
+    spark: SparkSession
+    root: str
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"stages": {}, "config": {}}
+
+    def write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
+    def stage_complete(self, stage: str) -> bool:
+        st = self.read_manifest()["stages"].get(stage)
+        if not st or not st.get("completed"):
+            return False
+        out = st.get("output")
+        return out is None or os.path.exists(out)
+
+    def record_stage(self, stage: str, output: str | None, rows: int | None,
+                     seconds: float, metrics: dict | None = None) -> None:
+        m = self.read_manifest()
+        m["stages"][stage] = {
+            "completed": True,
+            "output": output,
+            "rows": rows,
+            "seconds": round(seconds, 3),
+            "metrics": metrics or {},
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self.write_manifest(m)
+
+    # -- tables -------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+        p = self.path(table)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(p)
+        return p
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    # convenience typed readers
+    def doc_meta(self) -> DataFrame:
+        return self.read("doc_meta")
+
+    def corpus_stats(self) -> DataFrame:
+        return self.read("corpus_stats")
+
+    def postings(self) -> DataFrame:
+        return self.read("postings")
+
+    def blocks(self) -> DataFrame:
+        return self.read("blocks")
+
+    def terms(self) -> DataFrame:
+        return self.read("terms")
+
+    def scalar_stats(self) -> tuple[int, float]:
+        row = self.corpus_stats().collect()[0]
+        return int(row.doc_count), float(row.avg_doc_length)
+
+
+def term_bucket(col: F.Column | str, n_buckets: int) -> F.Column:
+    """Stable bucket id for a term — the partition-pruning key. xxhash64 is
+    deterministic across Spark sessions/versions for string input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")

@@ -1,0 +1,78 @@
+"""Transcript-corpus sources.
+
+The engine's primary input (BASELINE.json input_hint) is a table of
+multi-turn conversation / agent transcripts:
+    (conv_id: string, turn_idx: int32, role: string, text: string,
+     tool: string, ts: timestamp)
+
+In this sandbox we synthesize that table DETERMINISTICALLY from the
+driver-provided ``documents.parquet`` (TESTDATA.md) — fully distributed
+(spark.range cross-join amplification, no driver-side loops), so the same
+generator scales from 500 turns to hundreds of millions.
+
+Document identity follows SURVEY.md §1.3:
+    doc_id = concat(conv_id, ':', turn_idx)
+    url    = concat(conv_id, '/', turn_idx, '/', role, '/', tool)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["none", "search", "code", "browser"]
+TURNS_PER_CONV = 8
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 1,
+) -> DataFrame:
+    """Deterministic transcript table derived from documents.parquet.
+
+    Each (document, replica) pair becomes one turn. ``replicas > 1``
+    amplifies the corpus for throughput benchmarking; every replica gets a
+    distinct marker token appended so posting lists grow realistically
+    instead of collapsing into duplicates.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("src_id"), "text"
+    )
+    if replicas > 1:
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).withColumn(
+            "text",
+            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))),
+        )
+    else:
+        docs = docs.withColumn("rep", F.lit(0))
+
+    gid = (F.col("src_id") * replicas + F.col("rep")).alias("gid")
+    out = docs.select(gid, "text")
+    turn = (F.col("gid") % TURNS_PER_CONV).cast("int")
+    conv = F.format_string("conv_%08d", (F.col("gid") / TURNS_PER_CONV).cast("long"))
+    return out.select(
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.element_at(F.array(*[F.lit(r) for r in ROLES]), (turn % 4) + 1).alias("role"),
+        F.col("text"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in TOOLS]), ((F.col("gid") % 16) / 4 + 1).cast("int")
+        ).alias("tool"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp") + (F.col("gid") * F.expr("INTERVAL 1 SECOND"))).alias("ts"),
+    )
+
+
+def with_doc_identity(transcripts: DataFrame) -> DataFrame:
+    """Attach doc_id + url per SURVEY.md §1.3."""
+    return transcripts.withColumn(
+        "doc_id", F.concat_ws(":", "conv_id", "turn_idx")
+    ).withColumn(
+        "url", F.concat_ws("/", "conv_id", "turn_idx", "role", "tool")
+    )

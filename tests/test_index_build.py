@@ -1,0 +1,176 @@
+"""Index-build pipeline: correctness vs oracle, codec round-trip through the
+blocks table, resume behavior (SURVEY.md §5 items 2/4/5)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import shutil
+
+import numpy as np
+import pytest
+
+from bm25_pagerank_rpi_spark import oracle
+from bm25_pagerank_rpi_spark.index import codec
+from bm25_pagerank_rpi_spark.operators import query_exact
+from bm25_pagerank_rpi_spark.plans.index_build import build_index
+
+
+def transcripts_df(spark, corpus):
+    rows = []
+    for i, (doc_id, text) in enumerate(sorted(corpus.items())):
+        conv, turn = doc_id.split(":")
+        rows.append(
+            (
+                conv,
+                int(turn),
+                ["user", "assistant", "system", "tool"][i % 4],
+                text,
+                ["none", "search", "code", "browser"][i % 4],
+                datetime.datetime(2025, 1, 1) + datetime.timedelta(seconds=i),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    cat = build_index(
+        spark,
+        transcripts_df(spark, corpus),
+        out,
+        n_buckets=8,
+        block_size=16,  # small to force multi-block terms
+        range_rows=32,  # small to force multi-range (salted) groups
+    )
+    return cat
+
+
+def test_doc_int_dense_and_ordered(built, corpus):
+    meta = built.doc_meta().select("doc_id", "doc_int").collect()
+    by_id = {r.doc_id: r.doc_int for r in meta}
+    expected = {d: i for i, d in enumerate(sorted(corpus))}
+    assert by_id == expected
+
+
+def test_corpus_stats_match_oracle(built, corpus):
+    _, dls, n, avg = oracle.build_index_from_texts(corpus)
+    doc_count, avgdl = built.scalar_stats()
+    assert doc_count == n
+    assert abs(avgdl - avg) < 1e-12
+
+
+def test_postings_match_oracle(built, corpus):
+    index, _, _, _ = oracle.build_index_from_texts(corpus)
+    expected = {
+        (t, doc_id): tf for t, posts in index.items() for doc_id, tf in posts
+    }
+    meta = {r.doc_int: r.doc_id for r in built.doc_meta().select("doc_int", "doc_id").collect()}
+    got = {
+        (r.term, meta[r.doc_int]): r.tf
+        for r in built.postings().collect()
+    }
+    assert got == expected
+
+
+def test_terms_df_idf_match_oracle(built, corpus):
+    index, _, n, _ = oracle.build_index_from_texts(corpus)
+    idf = oracle.idf_map(index, n)
+    got = {r.term: (r.df, r.idf) for r in built.terms().collect()}
+    assert set(got) == set(index)
+    for t, posts in index.items():
+        assert got[t][0] == len(posts), t
+        assert abs(got[t][1] - idf[t]) < 1e-12, t
+
+
+def test_blocks_roundtrip_to_postings(built):
+    post = {
+        (r.term, r.doc_int): (r.tf, r.doc_length)
+        for r in built.postings().collect()
+    }
+    seen = set()
+    for r in built.blocks().collect():
+        docs, tfs, factors = codec.decode_block(r)
+        assert r.n_postings == docs.size
+        assert r.min_doc == docs[0] and r.max_doc == docs[-1]
+        assert abs(r.max_factor - factors.max()) < 1e-15
+        assert (np.diff(docs) > 0).all()
+        for d, tf in zip(docs.tolist(), tfs.tolist()):
+            assert post[(r.term, d)][0] == tf
+            seen.add((r.term, d))
+    assert seen == set(post)  # every posting in exactly one block
+
+
+def test_block_ids_doc_ordered_within_term(built):
+    rows = built.blocks().select("term", "block_id", "min_doc", "max_doc").collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    for t, blks in by_term.items():
+        blks.sort(key=lambda r: r.block_id)
+        for a, b in zip(blks, blks[1:]):
+            assert a.max_doc < b.min_doc, f"overlapping/unordered blocks for {t}"
+
+
+def test_rank_from_index_matches_oracle(built, spark, corpus):
+    toks = sorted({t for text in corpus.values() for t in text.split()})
+    queries = {
+        "q1": f"{toks[0]} {toks[3]} {toks[7]}",
+        "q2": f"{toks[1]} {toks[1]} {toks[4]}",
+        "q3": "hello, zzz_absent",
+    }
+    q_df = spark.createDataFrame(list(queries.items()), "query_id string, text string")
+    got = query_exact.rank_from_index(built, q_df, k=1000).collect()
+    index, dls, n, avg = oracle.build_index_from_texts(corpus)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, qtext in queries.items():
+        exp = oracle.rank_documents(qtext, index, dls, n, avg)
+        rows = sorted(by_q.get(qid, []), key=lambda r: r.rank)
+        assert [r.doc_id for r in rows] == [d.doc_id for d in exp], qid
+        for r, e in zip(rows, exp):
+            assert abs(r.bm25 - e.bm25) <= 1e-12
+
+
+def test_manifest_and_metrics(built):
+    m = built.read_manifest()
+    for stage in ["doc_meta", "postings", "blocks", "terms", "metrics"]:
+        assert m["stages"][stage]["completed"], stage
+    met = m["stages"]["metrics"]["metrics"]
+    assert met["postings"] > 0
+    assert met["bytes_compressed"] > 0
+    assert met["skew_ratio"] >= 1.0
+    assert len(met["per_bucket"]) <= 8
+
+
+def test_resume_skips_completed_and_rebuilds_missing(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    t = transcripts_df(spark, corpus)
+    cat = build_index(spark, t, out, n_buckets=4, block_size=16, range_rows=32)
+    blocks_before = sorted(
+        (r.term, r.block_id, bytes(r.docs_enc), bytes(r.tfs_enc))
+        for r in cat.blocks().collect()
+    )
+    # simulate a crash after stage 'postings': wipe blocks/terms/metrics
+    m = cat.read_manifest()
+    for stage in ["blocks", "terms", "metrics"]:
+        del m["stages"][stage]
+    cat.write_manifest(m)
+    shutil.rmtree(cat.path("blocks"))
+    shutil.rmtree(cat.path("terms"))
+    # resume: must NOT recompute doc_meta/postings (tracked via manifest
+    # timestamps), must rebuild blocks/terms byte-identically
+    before_meta = m["stages"]["doc_meta"]["finished_at"]
+    cat2 = build_index(spark, t, out, n_buckets=4, block_size=16, range_rows=32)
+    m2 = cat2.read_manifest()
+    assert m2["stages"]["doc_meta"]["finished_at"] == before_meta  # skipped
+    assert m2["stages"]["blocks"]["completed"]
+    blocks_after = sorted(
+        (r.term, r.block_id, bytes(r.docs_enc), bytes(r.tfs_enc))
+        for r in cat2.blocks().collect()
+    )
+    assert blocks_after == blocks_before  # byte-identical rebuild

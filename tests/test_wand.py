@@ -1,0 +1,103 @@
+"""WAND-safety property (SURVEY.md §5 item 3): block-max pruned path must be
+rank-identical to the exact DataFrame path — same docs, same ranks, scores
+within the reference epsilon 1e-12 — including on negative-IDF corpora and
+randomized seeded corpora."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bm25_pagerank_rpi_spark.operators import query_exact, wand
+from bm25_pagerank_rpi_spark.plans.index_build import build_index
+from tests.conftest import make_corpus
+from tests.test_index_build import transcripts_df
+
+
+def _compare(exact_rows, wand_rows, k):
+    by_q_e, by_q_w = {}, {}
+    for r in exact_rows:
+        by_q_e.setdefault(r.query_id, []).append(r)
+    for r in wand_rows:
+        by_q_w.setdefault(r.query_id, []).append(r)
+    assert set(by_q_e) == set(by_q_w)
+    for qid in by_q_e:
+        e = sorted(by_q_e[qid], key=lambda r: r.rank)[:k]
+        w = sorted(by_q_w[qid], key=lambda r: r.rank)
+        assert len(w) == min(len(e), k), qid
+        for re_, rw in zip(e, w):
+            assert re_.doc_id == rw.doc_id, (
+                f"{qid} rank {re_.rank}: exact={re_.doc_id}({re_.bm25}) "
+                f"wand={rw.doc_id}({rw.bm25})"
+            )
+            assert abs(re_.bm25 - rw.bm25) <= 1e-12
+
+
+def _build(spark, corpus, tmp_path, **kw):
+    kw.setdefault("n_buckets", 8)
+    kw.setdefault("block_size", 16)
+    kw.setdefault("range_rows", 32)
+    return build_index(spark, transcripts_df(spark, corpus), str(tmp_path), **kw)
+
+
+def test_wand_equals_exact_basic(spark, corpus, tmp_path):
+    cat = _build(spark, corpus, tmp_path / "idx")
+    toks = sorted({t for text in corpus.values() for t in text.split()})
+    queries = [
+        ("q1", f"{toks[0]} {toks[3]} {toks[7]}"),
+        ("q2", f"{toks[1]} {toks[1]} {toks[4]}"),  # duplicate term
+        ("q3", "hello, zzz_absent"),
+        ("q4", " ".join(toks[:10])),  # wide query
+        ("q5", toks[5]),  # single term
+    ]
+    q_df = spark.createDataFrame(queries, "query_id string, text string")
+    for k in (3, 10, 1000):
+        exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
+        pruned = wand.wand_topk(cat, q_df, k=k).collect()
+        _compare(exact, pruned, k)
+
+
+def test_wand_negative_idf(spark, tmp_path):
+    # 'common' appears in EVERY doc -> idf = ln(N/(N+1)) < 0
+    corpus = {
+        f"conv_{i:04d}:0": f"common word{i % 5} extra{i % 3} common"
+        for i in range(20)
+    }
+    cat = _build(spark, corpus, tmp_path / "idx")
+    q_df = spark.createDataFrame(
+        [("qn", "common word1"), ("qn2", "common common word2 extra1")],
+        "query_id string, text string",
+    )
+    terms = {r.term: r.idf for r in cat.terms().collect()}
+    assert terms["common"] < 0  # precondition: negative idf exercised
+    exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
+    pruned = wand.wand_topk(cat, q_df, k=5).collect()
+    _compare(exact, pruned, 5)
+
+
+def test_wand_ties(spark, tmp_path):
+    # identical docs -> exact ties -> tie-break by doc_id must agree
+    corpus = {f"conv_0000:{i}": "alpha beta gamma" for i in range(8)}
+    corpus.update({f"conv_0001:{i}": "alpha beta" for i in range(4)})
+    cat = _build(spark, corpus, tmp_path / "idx")
+    q_df = spark.createDataFrame([("qt", "alpha beta")], "query_id string, text string")
+    exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
+    pruned = wand.wand_topk(cat, q_df, k=6).collect()
+    _compare(exact, pruned, 6)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_wand_randomized(spark, tmp_path, seed):
+    corpus = make_corpus(n_docs=80, vocab_size=25, seed=seed, max_len=40)
+    cat = _build(spark, corpus, tmp_path / f"idx{seed}")
+    rng = random.Random(seed)
+    toks = sorted({t for text in corpus.values() for t in text.split()})
+    queries = [
+        (f"q{i}", " ".join(rng.choices(toks, k=rng.randint(1, 6))))
+        for i in range(6)
+    ]
+    q_df = spark.createDataFrame(queries, "query_id string, text string")
+    exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
+    pruned = wand.wand_topk(cat, q_df, k=7).collect()
+    _compare(exact, pruned, 7)
