@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measured pieces:
+  build        — full inverted-index build (tokenize -> postings ->
+                 compressed blocks -> term stats) over transcripts
+                 synthesized from documents.parquet; also reported as
+                 ``build_turns_per_sec`` (the north-rule throughput metric).
+  q_exact      — exact DataFrame BM25 top-k straight from raw text.
+  q_wand       — block-max pruned top-k over the prebuilt index (the
+                 serving path: per-query latency at scale).
+  q_index_exact— exact scorer reading the prebuilt postings table
+                 (partition-pruned scan instead of corpus re-tokenize).
+  plus representative operator families (joins, window top-k, dedup,
+  similarity) so regressions anywhere in the engine show up here.
+
+Set ``BENCH_REPLICAS`` to amplify the corpus (default 20 -> ~100k turns
+at sf0.1), ``BENCH_K`` for top-k size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "20"))
+K = int(os.environ.get("BENCH_K", "1000"))
+INDEX_DIR = os.environ.get(
+    "BENCH_INDEX_DIR", f"/tmp/bm25_bench_index_c{CPUS}_r{REPLICAS}"
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bm25_pagerank_rpi_spark.entry_queries import QUERIES, QUERY_TEXT
+    from bm25_pagerank_rpi_spark.operators import query_exact, scorer, wand
+    from bm25_pagerank_rpi_spark.plans.index_build import build_index
+    from bm25_pagerank_rpi_spark.session import get_spark
+    from bm25_pagerank_rpi_spark.sources.transcripts import (
+        synthesize_transcripts,
+        with_doc_identity,
+    )
+
+    spark = get_spark("bench", cores=CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- corpus + index build ---------------------------------------------
+    transcripts = synthesize_transcripts(spark, SF_DIR, replicas=REPLICAS)
+    n_turns = transcripts.count()  # warm-up scan, excluded from build time
+
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    cat = timed("build", lambda: build_index(spark, transcripts, INDEX_DIR))
+    build_tps = n_turns / timings["build"]
+
+    queries_df = spark.createDataFrame(
+        [("q1", QUERY_TEXT)], "query_id string, text string"
+    )
+    docs = with_doc_identity(transcripts).select("doc_id", "text")
+
+    # ---- headline query paths ---------------------------------------------
+    timed("q_exact", lambda: scorer.rank_documents(docs, queries_df, k=K).count())
+    timed("q_wand", lambda: wand.wand_topk(cat, queries_df, k=K).count())
+    timed(
+        "q_index_exact",
+        lambda: query_exact.rank_from_index(cat, queries_df, k=K).count(),
+    )
+
+    # ---- representative operator families ----------------------------------
+    for name in (
+        "join_metadata_agg",
+        "events_topk_per_user",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_quality",
+    ):
+        fn = QUERIES.get(name)
+        if fn is not None:
+            timed(name, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_index_build_plus_query_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": CPUS,
+                "turns": n_turns,
+                "build_turns_per_sec": round(build_tps, 1),
+                "replicas": REPLICAS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
