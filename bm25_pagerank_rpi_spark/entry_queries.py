@@ -415,3 +415,9 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_bm25_topk(spark, sf_dir)
+
+
+# self-registering driver pairs for the other operator families (import at
+# the bottom so they can use this module's ``register`` without a cycle)
+from . import entry_queries_pipeline  # noqa: E402,F401
+from . import entry_queries_graph  # noqa: E402,F401

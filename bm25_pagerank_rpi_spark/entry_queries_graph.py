@@ -1,0 +1,188 @@
+"""Driver pairs for the link-analysis family: native PageRank and the
+full 24-dimensional feature vector (reference types.go:50-89).
+
+The graph for the driver check derives deterministically from the
+``documents`` table with the same conv/turn arithmetic as the transcript
+synthesis (sources/transcripts.py, replicas=1): conv = doc_id // 8,
+turn = doc_id % 8. Edges: forward within-conversation adjacency
+(doc -> doc+1 in the same conv) plus a return-to-root edge
+(doc -> conv*8 for turn > 0). Every node has out-degree >= 1, so no
+dangling mass and the damped power method is oracle-checkable with a
+recursive CTE in DuckDB — a full value check on an iterative algorithm,
+not a rows-only fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .entry_queries import SQL_SKELETON, _docs, _feature_block, _r, register
+from .operators import features, pagerank
+from .sources.transcripts import ROLES, TOOLS
+
+DAMPING = 0.85
+ITERS = 10
+
+
+def _doc_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    a = docs.select(F.col("doc_id").alias("src"))
+    b = docs.select(F.col("doc_id").alias("dst"))
+    forward = a.join(
+        b,
+        (F.col("dst") == F.col("src") + 1)
+        & (F.expr("src div 8") == F.expr("dst div 8")),
+    )
+    to_root = docs.filter(F.col("doc_id") % 8 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.expr("doc_id div 8") * 8).alias("dst"),
+    )
+    return nodes, forward.unionByName(to_root)
+
+
+SQL_GRAPH = """
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id // 8 = b.doc_id // 8
+  UNION ALL
+  SELECT doc_id, (doc_id // 8) * 8 FROM documents WHERE doc_id % 8 <> 0
+),
+outs AS (SELECT src, list(dst) AS dsts, count(*) AS out_deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+  UNION ALL
+  SELECT iter, (s).t AS node,
+         {base} / (SELECT n FROM nn) + {damping} * sum((s).v) AS rank
+  FROM (
+    SELECT p.iter + 1 AS iter,
+           unnest(list_prepend(struct_pack(t := p.node, v := 0.0),
+             coalesce(list_transform(o.dsts, x -> struct_pack(t := x, v := p.rank / o.out_deg)),
+                      CAST([] AS STRUCT(t BIGINT, v DOUBLE)[])))) AS s
+    FROM pr p LEFT JOIN outs o ON o.src = p.node
+    WHERE p.iter < {iters}
+  )
+  GROUP BY iter, (s).t
+),
+pr_final AS (SELECT node, rank FROM pr WHERE iter = {iters}),
+link_info AS (
+  SELECT n.node,
+         coalesce(i.c, 0)::INT AS inlinks,
+         coalesce(o.out_deg, 0)::INT AS outlinks
+  FROM nodes n
+  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.node
+  LEFT JOIN outs o ON o.src = n.node
+)""".format(base=1.0 - DAMPING, damping=DAMPING, iters=ITERS)
+
+
+@register(
+    "pagerank",
+    f"""
+WITH RECURSIVE {SQL_GRAPH}
+SELECT node, round(rank, 6) AS pagerank, inlinks, outlinks
+FROM pr_final JOIN link_info USING (node)
+""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _doc_graph(_docs(spark, sf_dir))
+    out = pagerank.pagerank_table(nodes, edges, damping=DAMPING, iterations=ITERS)
+    return out.select("node", _r("pagerank").alias("pagerank"), "inlinks", "outlinks")
+
+
+# ---------------------------------------------------------------------------
+# full 24-feature vector (types.go:50-89) for the reference query's top-20
+# ---------------------------------------------------------------------------
+
+def _url_col() -> F.Column:
+    turn = (F.col("doc_id") % 8).cast("int")
+    conv = F.concat(F.lit("conv_"), F.format_string("%08d", F.expr("doc_id div 8")))
+    role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), turn % 4 + 1)
+    tool = F.element_at(
+        F.array(*[F.lit(t) for t in TOOLS]), (F.col("doc_id") % 16 / 4 + 1).cast("int")
+    )
+    return F.concat_ws("/", conv, turn.cast("string"), role, tool)
+
+
+def _role_sql() -> str:
+    whens = " ".join(f"WHEN {i} THEN '{r}'" for i, r in enumerate(ROLES[:-1]))
+    return f"CASE (doc_id % 8) % 4 {whens} ELSE '{ROLES[-1]}' END"
+
+
+def _tool_sql() -> str:
+    whens = " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(TOOLS[:-1]))
+    return f"CASE (doc_id % 16) // 4 {whens} ELSE '{TOOLS[-1]}' END"
+
+
+_FEATURE_SQL = f"""
+, urlt AS (
+  SELECT doc_id,
+         concat_ws('/', concat('conv_', printf('%08d', doc_id // 8)),
+                   CAST(doc_id % 8 AS VARCHAR), {_role_sql()}, {_tool_sql()}) AS url
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+)
+SELECT r.doc_id, r.rank,
+  r.covered_query_term_number,
+  round(r.covered_query_term_number::DOUBLE / r.n_terms, 6) AS covered_query_term_ratio,
+  r.sum_tf, r.min_tf, r.max_tf,
+  round(r.mean_tf, 6) AS mean_tf, round(r.var_tf, 6) AS var_tf,
+  r.stream_length::INT AS stream_length,
+  round(coalesce(r.s_ntf, 0.0), 6) AS sum_ntf,
+  round(coalesce(r.mn_ntf, 0.0), 6) AS min_ntf,
+  round(coalesce(r.mx_ntf, 0.0), 6) AS max_ntf,
+  round(coalesce(r.me_ntf, 0.0), 6) AS mean_ntf,
+  round(coalesce(r.v_ntf, 0.0), 6) AS var_ntf,
+  round(CASE WHEN r.n_idf_terms > 0 THEN r.s_tfidf ELSE 0.0 END, 6) AS sum_tfidf,
+  round(CASE WHEN r.n_idf_terms > 0 THEN r.mn_tfidf ELSE 0.0 END, 6) AS min_tfidf,
+  round(CASE WHEN r.n_idf_terms > 0 THEN r.mx_tfidf ELSE 0.0 END, 6) AS max_tfidf,
+  round(CASE WHEN r.n_idf_terms > 0 THEN r.me_tfidf ELSE 0.0 END, 6) AS mean_tfidf,
+  round(CASE WHEN r.n_idf_terms > 0 THEN r.v_tfidf ELSE 0.0 END, 6) AS var_tfidf,
+  round(r.bm25, 6) AS bm25,
+  (length(u.url) - length(replace(u.url, '/', '')))::INT AS num_slashes_in_url,
+  strlen(u.url)::INT AS length_of_url,
+  li.inlinks AS inlink_count,
+  li.outlinks AS outlink_count,
+  round(coalesce(p.rank, 0.0), 6) AS page_rank
+FROM ranked r
+JOIN urlt u ON u.doc_id = r.doc_id
+LEFT JOIN pr_final p ON p.node = r.doc_id
+LEFT JOIN link_info li ON li.node = r.doc_id
+WHERE r.rank <= 20
+"""
+
+
+@register(
+    "feature_vector",
+    SQL_SKELETON.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + ", "
+    + SQL_GRAPH.lstrip("\n")
+    + _FEATURE_SQL,
+)
+def q_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = _feature_block(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    meta = docs.select("doc_id", _url_col().alias("url"))
+    nodes, edges = _doc_graph(docs)
+    prt = pagerank.pagerank_table(nodes, edges, damping=DAMPING, iterations=ITERS)
+    out = features.assemble(top, meta, prt)
+    dbl = {
+        "covered_query_term_ratio", "mean_tf", "var_tf",
+        "sum_ntf", "min_ntf", "max_ntf", "mean_ntf", "var_ntf",
+        "sum_tfidf", "min_tfidf", "max_tfidf", "mean_tfidf", "var_tfidf",
+        "bm25", "page_rank",
+    }
+    cols = [
+        _r(c).alias(c) if c in dbl else F.col(c)
+        for c in ["doc_id", "rank", *features.FEATURE_COLUMNS]
+    ]
+    return out.select(*cols)

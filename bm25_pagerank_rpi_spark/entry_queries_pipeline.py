@@ -1,0 +1,468 @@
+"""Driver query/oracle pairs for the training-data pipeline operators:
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (brute-force + LSH ANN), and the
+text-analysis battery.
+
+The driver testdata has no natural duplicates (documents are distinct,
+embedding cosines top out ~0.48), so the dedup queries PLANT deterministic
+duplicates inside the query itself — the identical construction in Spark
+and in the oracle SQL:
+
+  exact copies : doc_id % 10 == 0  ->  doc_id + 1_000_000, same text
+  near copies  : doc_id % 10 == 1  ->  doc_id + 2_000_000, first token
+                 dropped (shingle-Jaccard stays high)
+  embedding    : vec_id % 50 == 0  ->  vec_id + 1_000_000, v * 2
+                 (cosine == 1 with the original)
+
+All hashing is the portable md5-based ``phash`` so MinHash/SimHash values
+are bit-identical across engines (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import _docs, _r, register
+from .functions.hashing import phash_sql
+from .functions.tokenize import tokens_col
+from .operators import dedup, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# shared Spark-side constructions
+# ---------------------------------------------------------------------------
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = (
+        docs.withColumn("toks", tokens_col("text"))
+        .filter((F.col("doc_id") % 10 == 1) & (F.size("toks") > 1))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice("toks", 2, F.size("toks") - 1), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", similarity.as_double_vec("embedding").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE fragments
+# ---------------------------------------------------------------------------
+
+SQL_DOCS_AUG = r"""
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT t.doc_id + 2000000, array_to_string(list_slice(t.toks, 2, len(t.toks)), ' ')
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents) t
+  WHERE t.doc_id % 10 = 1 AND len(t.toks) > 1
+)"""
+
+SQL_TOK_SH = r"""
+tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM docs_aug
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        THEN list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM tok) WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+_MH = phash_sql("concat(shingle, '#', CAST(s.i AS VARCHAR))")
+
+SQL_MINHASH = f"""
+mh AS (
+  SELECT doc_id, s.i AS i, min({_MH}) AS minhash
+  FROM sh CROSS JOIN generate_series(0, {dedup.NUM_HASHES - 1}) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, band, string_agg(minhash::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM (SELECT doc_id, i, minhash, i // {dedup.NUM_HASHES // dedup.BANDS} AS band FROM mh)
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""
+WITH {SQL_DOCS_AUG},
+hashed AS (SELECT doc_id, {phash_sql('text')} AS content_hash FROM docs_aug),
+grp AS (
+  SELECT content_hash, min(doc_id) AS canonical_id
+  FROM hashed GROUP BY content_hash HAVING count(*) >= 2
+)
+SELECT h.doc_id, g.canonical_id, h.content_hash
+FROM hashed h JOIN grp g USING (content_hash)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs_aug(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {SQL_DOCS_AUG},
+{SQL_TOK_SH},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT i.doc_a, i.doc_b,
+         i.inter::DOUBLE / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+) WHERE jaccard >= 0.7
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), threshold=0.7)
+    return out.select("doc_a", "doc_b", _r("jaccard").alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {SQL_DOCS_AUG},
+{SQL_TOK_SH},
+{SQL_MINHASH}
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         coalesce(i.inter, 0)::DOUBLE
+           / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+) WHERE jaccard >= 0.7
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.minhash_dedup_pairs(_docs_aug(spark, sf_dir), threshold=0.7)
+    return out.select("doc_a", "doc_b", _r("jaccard").alias("jaccard"))
+
+
+_TH = phash_sql("term")
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH {SQL_DOCS_AUG},
+tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM docs_aug
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+sig0 AS (
+  SELECT doc_id, j.j AS j,
+         sum(tf * (2 * ((({_TH}) >> j.j) & 1) - 1)) AS bit_sum
+  FROM tf CROSS JOIN generate_series(0, {dedup.SIMHASH_BITS - 1}) AS j(j)
+  GROUP BY doc_id, j.j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit_sum >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sig0 GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 8)) & 255 AS chunk
+  FROM sig CROSS JOIN generate_series(0, {dedup.SIMHASH_BANDS - 1}) AS b(b)
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = dedup.simhash(_docs_aug(spark, sf_dir))
+    return dedup.simhash_pairs(sim, max_hamming=3)
+
+
+def _planes_sql() -> str:
+    planes = similarity.hyperplanes()
+    return ", ".join(
+        "[" + ", ".join(f"{x:.6f}" for x in row) + "]" for row in planes
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    planes = similarity.hyperplanes()
+    parts = []
+    for p, row in enumerate(planes):
+        arr = "[" + ", ".join(f"{x:.6f}" for x in row) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({vec}, {arr}) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH emb_aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+bucketed AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb_aug)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_COS.format(a='a.v', b='b.v')}, 6) AS cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos >= 0.95
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_dedup_pairs(_emb_aug(spark, sf_dir), threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT query_id, e.vec_id AS vec_id,
+         round({_COS.format(a='qv', b='e.v')}, 6) AS cos
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, b.vec_id AS vec_id,
+         round({_COS.format(a='q.qv', b='b.v')}, 6) AS cos
+  FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text)::INT AS n_chars,
+       len(toks)::INT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))::INT AS n_subwords,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM tok
+""",
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "n_subwords",
+        _r("avg_token_len").alias("avg_token_len"),
+    )
+
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"]) + "]"
+
+@register(
+    "text_quality",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         length(text)::INT AS n_chars,
+         len(toks)::INT AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n]'))::DOUBLE / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, lower(t))))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / length(text)
+              ELSE 0.0 END AS upper_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS unique_token_ratio
+  FROM tok
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(upper_ratio, 6) AS upper_ratio,
+       round(unique_token_ratio, 6) AS unique_token_ratio,
+       round(
+         (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+         + 0.25 * least(stopword_ratio * 5, 1.0)
+         + 0.25 * unique_token_ratio, 6) AS quality_score
+FROM feats
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        _r("punct_ratio").alias("punct_ratio"),
+        _r("stopword_ratio").alias("stopword_ratio"),
+        _r("upper_ratio").alias("upper_ratio"),
+        _r("unique_token_ratio").alias("unique_token_ratio"),
+        _r("quality_score").alias("quality_score"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: (
+            "len(list_intersect(low, ["
+            + ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+            + "]))::INT"
+        )
+        for lang in textstats.LANG_ORDER
+    }
+    hit_cols = ",\n         ".join(f"{expr} AS hits_{lang}" for lang, expr in hits.items())
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in textstats.LANG_ORDER) + ")"
+    cases = " ".join(
+        f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}'"
+        for lang in textstats.LANG_ORDER
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+           t -> lower(t))) AS low
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM tok
+),
+scored AS (SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, {best} AS best FROM hits)
+SELECT doc_id,
+       CASE {cases} ELSE 'und' END AS lang_pred,
+       best AS lang_hits
+FROM scored
+"""
+
+
+@register("text_lang_id", _lang_sql())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    rf"""
+WITH docs_aug AS (SELECT doc_id, text FROM documents),
+{SQL_TOK_SH.replace("docs_aug", "docs_aug")}
+SELECT d.doc_id, {phash_sql('d.text')} AS content_hash, m.min_shingle_hash
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, min({phash_sql('shingle')}) AS min_shingle_hash
+  FROM sh GROUP BY doc_id
+) m ON m.doc_id = d.doc_id
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir))

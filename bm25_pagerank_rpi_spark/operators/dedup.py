@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference engine has no dedup (its corpus arrives pre-cleaned through
+the indexing service), but a 10^12-turn transcript corpus must be deduped
+before indexing; these operators run as a pre-index stage over the same
+``(doc_id, text)`` relation the index build consumes.
+
+Four text families + the embedding family (operators/similarity.py):
+
+  exact          — content-hash groupBy. One shuffle on a 60-bit hash.
+  ngram_jaccard  — exact shingle-set Jaccard via a shared-shingle
+                   self-join (the exact-but-quadratic-in-collisions path).
+  minhash_lsh    — MinHash signatures + banded LSH; candidate pairs are
+                   verified with exact Jaccard. The scale path: cost is
+                   linear in corpus size + size of colliding buckets.
+  simhash        — 32-bit tf-weighted SimHash + hamming-band join.
+
+All hashing goes through functions/hashing.py ``phash`` (md5-based) so
+every operator is value-checkable against a DuckDB oracle; on a real
+cluster swap phash -> xxhash64 for ~3x hash throughput.
+
+Scale notes (100 TB):
+- every groupBy here keys on (doc_id, ...) or a hash — uniform, map-side
+  combinable; no driver-side state.
+- LSH band joins self-join only within equal band-keys; degenerate
+  buckets (thousands of identical docs) are exactly the skew AQE's
+  skew-join splitting handles; the verify step is bounded by emitted
+  candidate pairs, not corpus size.
+- ``pairs`` outputs use doc_a < doc_b to halve the join output and make
+  results deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import phash
+from ..functions.tokenize import tokens_col
+
+SHINGLE_N = 3
+NUM_HASHES = 16
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 4
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, content_hash) for every doc in a duplicate
+    group (group size >= 2); canonical = min doc_id of the group."""
+    hashed = docs.select("doc_id", phash(F.col("text")).alias("content_hash"))
+    groups = (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return hashed.join(groups, "content_hash").select(
+        "doc_id", "canonical_id", "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams per doc (set semantics for
+    Jaccard). Docs shorter than n tokens contribute their whole text as a
+    single shingle, so short docs still dedup."""
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(F.col("toks"), " ")))
+    return (
+        toks.select("doc_id", F.explode(shingles).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) pairs via shared-shingle
+    intersection counts. |candidate pairs| << corpus, so the pair list
+    broadcasts and the verify cost is proportional to the pairs' shingles."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(
+            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.7, n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with exact shingle-Jaccard >=
+    threshold. Intersection counts fall straight out of the shared-shingle
+    self-join's groupBy — pairs with zero overlap are never materialized
+    and the pair list is never re-joined against the shingle relation."""
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, i, minhash) — i-th MinHash = min over shingles of
+    phash(shingle || '#' || i). Seeded-permutation family via hash-domain
+    separation: portable across engines and overflow-free (no (a*x+b) mod p
+    arithmetic, which 64-bit ANSI SQL cannot express without overflow)."""
+    sh = doc_shingles(docs)
+    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("i"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "i",
+            phash(F.concat_ws("#", "shingle", "i")).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
+) -> DataFrame:
+    """(doc_a, doc_b) pairs whose signatures collide in >= 1 LSH band.
+
+    Band key = comma-joined minhashes of the band in i-order; the
+    self-join keys on (band, band_key) so only same-bucket docs meet."""
+    rows = num_hashes // bands
+    band_keys = (
+        sigs.withColumn("band", (F.col("i") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): LSH candidates verified with exact Jaccard.
+    False positives from banding are removed by the verify; false negatives
+    follow the standard (1-(1-j^r)^b) LSH recall curve."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs, num_hashes), num_hashes, bands)
+    return _pair_jaccard(doc_shingles(docs), cand).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band -> hamming<=3 pairs always share a band
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over tokens.
+
+    bit_j(doc) = 1 iff sum over terms of tf * (2*((phash(term)>>j)&1) - 1)
+    >= 0. Expressed entirely in Catalyst: explode tokens -> tf agg ->
+    explode bit positions -> signed sum -> bit pack. The bit-position
+    explode multiplies rows by ``bits`` but stays map-side until the final
+    (doc_id) agg."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", phash(F.col("term")))
+    )
+    bitpos = tf.sparkSession.range(bits).select(F.col("id").cast("int").alias("j"))
+    # shiftleft/shiftright need a column shift amount -> SQL expr form
+    signed = tf.crossJoin(F.broadcast(bitpos)).select(
+        "doc_id",
+        "j",
+        (
+            F.col("tf")
+            * (F.expr("shiftright(th, j)").bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias("s"),
+    )
+    return (
+        signed.groupBy("doc_id", "j")
+        .agg(F.sum("s").alias("bit_sum"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bit_sum") >= 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 3, bands: int = SIMHASH_BANDS
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: with ``bands`` bands over 32 bits, any pair within
+    hamming <= bands-1 agrees exactly on >= 1 band, so the equi-join on
+    (band, chunk) finds all of them without an all-pairs scan."""
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    chunks = sim.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("bc")
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "chunk")
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,147 @@
+"""Native PageRank — the engine-side replacement for the reference's
+link-analysis HTTP service (reference internal/ranking/data_getters.go:147-181
+fetches {pageRank, inLinkCount, outLinkCount} per URL; features.go:246-253
+joins it onto candidates). Here the graph, the iteration, and the info
+table are all built inside Spark.
+
+Graph over transcripts (SURVEY.md §1.3): within-conversation forward
+edges turn_i -> turn_{i+1} plus a "return to root" edge turn_i -> turn_0
+for i > 0. Every turn therefore has out-degree >= 1 except a
+single-turn conversation's root (the only possible dangling node).
+
+Iteration: classic damped power method as a join-agg loop,
+    rank'(v) = (1-d)/N + d * sum over in-edges (rank(u) / out_deg(u))
+with optional dangling-mass redistribution. Lineage is cut with
+localCheckpoint every ``checkpoint_every`` iterations — without it the
+plan doubles per iteration and Catalyst analysis time explodes.
+
+Scale notes (10^12 turns):
+- ranks and edges shuffle on the node key each iteration; pre-partition
+  both on ``node``/``src`` once (``repartition(node)``) so the join is
+  co-partitioned and only the groupBy(dst) reshuffles.
+- out_deg is computed once and cached with the edge list.
+- the conversation-local edge structure means contributions are heavily
+  local; a real deployment would bucket by conv_id so most contribution
+  traffic never crosses executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 10
+
+
+def transcript_edges(transcripts_with_id: DataFrame) -> DataFrame:
+    """(src, dst) string doc_id edges from a transcript table that already
+    carries ``doc_id`` (sources.transcripts.with_doc_identity)."""
+    t = transcripts_with_id.select("conv_id", "turn_idx", "doc_id")
+    nxt = t.select(
+        F.col("conv_id"),
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("doc_id").alias("dst"),
+    )
+    forward = t.join(nxt, ["conv_id", "turn_idx"]).select(
+        F.col("doc_id").alias("src"), "dst"
+    )
+    first = t.groupBy("conv_id").agg(F.min("turn_idx").alias("turn_idx"))
+    root = t.join(first.withColumnRenamed("turn_idx", "first_idx"), "conv_id").where(
+        F.col("turn_idx") != F.col("first_idx")
+    )
+    root_ids = t.join(first, ["conv_id", "turn_idx"]).select(
+        "conv_id", F.col("doc_id").alias("dst")
+    )
+    to_root = root.join(root_ids, "conv_id").select(F.col("doc_id").alias("src"), "dst")
+    return forward.unionByName(to_root)
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    redistribute_dangling: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, pagerank) after ``iterations`` damped power-method steps.
+
+    ``nodes``: one column ``node``; ``edges``: (src, dst). With
+    ``redistribute_dangling`` the rank mass of out-degree-0 nodes is
+    spread uniformly each step (true PageRank); off, their mass leaks —
+    kept as the default because the oracle-checkable recursive-SQL twin
+    uses the same convention and our transcript graph has no dangling
+    nodes by construction."""
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edeg = edges.join(deg, "src").persist()
+    edeg.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contribs = (
+            ranks.join(edeg, ranks.node == edeg.src)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if redistribute_dangling:
+            dangling = (
+                ranks.join(deg, ranks.node == deg.src, "left_anti")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            new = new.select(
+                "node", (F.col("rank") + F.lit(damping * dangling / n)).alias("rank")
+            )
+        ranks = new
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("rank").alias("pagerank"))
+    edeg.unpersist()
+    return out
+
+
+def link_info(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node, inlinks, outlinks) — the PageRankInfo counts
+    (reference types.go:108-112)."""
+    ins = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("int").alias("inlinks")
+    )
+    outs = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("int").alias("outlinks")
+    )
+    return (
+        nodes.join(ins, "node", "left")
+        .join(outs, "node", "left")
+        .select(
+            "node",
+            F.coalesce("inlinks", F.lit(0)).alias("inlinks"),
+            F.coalesce("outlinks", F.lit(0)).alias("outlinks"),
+        )
+    )
+
+
+def pagerank_table(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    redistribute_dangling: bool = False,
+) -> DataFrame:
+    """(node, pagerank, inlinks, outlinks) — the full S5-equivalent table
+    candidates join against (J3)."""
+    pr = pagerank(nodes, edges, damping, iterations, redistribute_dangling)
+    return pr.join(link_info(nodes, edges), "node")

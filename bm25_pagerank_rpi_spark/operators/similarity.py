@@ -1,0 +1,156 @@
+"""Embedding similarity search + embedding-space near-dup detection.
+
+Input: the ``embeddings`` table (vec_id: long, embedding: array<float>,
+label: int), dim = 64 in the driver testdata. All arithmetic is done in
+float64 after an exact float32 -> float64 widening so results are
+value-checkable against DuckDB's list_cosine_similarity.
+
+Two paths, the standard trade:
+
+  brute_force_topk — exact k-NN: |Q| x |corpus| cosine evaluations via a
+      broadcast of the (small) query-vector set. The baseline/oracle.
+  lsh_*            — random-hyperplane (sign) LSH: vectors bucket by the
+      6-bit sign pattern of dots with fixed hyperplanes; search touches
+      only same-bucket vectors (~1/64 of the corpus per probe).
+
+The hyperplane matrix is a module-level constant generated from a seeded
+PRNG, so Spark and the SQL oracle share identical literals.
+
+Scale notes (100 TB):
+- cosine is a Catalyst fold over zip_with — JVM-side, no Python; a
+  Pandas-UDF matmul variant only pays off when |Q| is large enough to
+  amortize Arrow transfer, at which point use blocked
+  ``mapInPandas`` + numpy GEMM (the plumbing here stays identical).
+- the LSH bucket id is a single int key: bucketed joins co-locate, and
+  bucket skew (dense regions) is ordinary AQE skew-join territory.
+- brute force broadcasts ONLY the query vectors, never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 6
+_PLANE_SEED = 20250116
+EMB_DIM = 64
+
+
+def hyperplanes(dim: int = EMB_DIM, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic hyperplane matrix (shared with the SQL oracle).
+    Entries rounded to 6dp so SQL literals are exact."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return [[round(float(x), 6) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _vecs(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", as_double_vec("embedding").alias("v"))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec_ids: list[int], k: int = 10
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — exact cosine top-k per query vector.
+
+    Rank is computed on the 6-dp-rounded score with vec_id tie-break, the
+    same convention as BM25 top-k, so ordering is engine-independent."""
+    vecs = _vecs(emb)
+    q = vecs.filter(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucket_col(v: Column, planes: list[list[float]]) -> Column:
+    """6-bit sign-pattern bucket id: bit p set iff dot(v, plane_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(v, plane_col) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def with_lsh_bucket(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
+    planes = planes or hyperplanes()
+    return _vecs(emb).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec_ids: list[int], k: int = 10,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — approximate top-k: candidates are
+    restricted to the query's LSH bucket. Recall < 1 by design; the
+    brute-force path is the exactness oracle."""
+    b = with_lsh_bucket(emb, planes)
+    q = b.filter(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_dedup_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — near-duplicate embedding pairs found within
+    LSH buckets. Scale-positive pairs (cos >= high threshold) land in the
+    same bucket with high probability (sign patterns of near-parallel
+    vectors agree); the within-bucket pair scan is ~|bucket|^2 but buckets
+    are 1/2^n_planes of the corpus."""
+    b = with_lsh_bucket(emb, planes)
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

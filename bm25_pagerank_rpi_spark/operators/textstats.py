@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data curation.
+
+Pure-Catalyst (JVM, whole-stage-codegen) implementations of the standard
+corpus-quality battery; nothing here touches Python at runtime, so at
+100 TB these are scan-bound single-pass projections with no shuffle
+except the final aggregations a caller adds.
+
+  token_counts     — whitespace tokens (T1) + a BPE-ish subword proxy:
+                     runs of word chars OR single non-word-non-space
+                     chars, the standard pre-tokenizer split.
+  quality_features — length / punctuation / stopword / uppercase /
+                     repetition ratios; composite score in [0, 1].
+  lang_id          — stopword-overlap n-gram-free heuristic over a fixed
+                     per-language lexicon (en/es/fr/de). argmax with a
+                     deterministic tie order.
+  fingerprint      — 60-bit content hash + min-shingle (winnowing-style)
+                     hash for copy detection across re-crawls.
+
+All regexes use portable POSIX-ish classes so the DuckDB oracle matches
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import phash
+from ..functions.tokenize import tokens_col
+
+# BPE-ish pre-tokenizer: word-char runs or single punctuation marks.
+SUBWORD_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "du", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "den", "von", "mit"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tie-break order
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_subwords, avg_token_len)."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(SUBWORD_RE), 0)).alias("n_subwords"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+    upper_ratio, unique_token_ratio, quality_score).
+
+    quality_score blends the classic filters (Gopher/C4-style): enough
+    tokens, low punctuation noise, some stopwords, low repetition."""
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    toks = tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("toks"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9_ \\t\\n]"), 0)).alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), 0)).alias("n_upper"),
+    )
+    feats = base.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        _ratio(F.col("n_punct"), F.col("n_chars")).alias("punct_ratio"),
+        _ratio(
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(en_stop, F.lower(t)))),
+            F.size("toks"),
+        ).alias("stopword_ratio"),
+        _ratio(F.col("n_upper"), F.col("n_chars")).alias("upper_ratio"),
+        _ratio(F.size(F.array_distinct("toks")), F.size("toks")).alias("unique_token_ratio"),
+    )
+    score = (
+        F.when(F.col("n_tokens") >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.lit(0.25) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+        + F.lit(0.25) * F.col("unique_token_ratio")
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of distinct-stopword hits
+    per language lexicon; 'und' when nothing matches."""
+    low = F.array_distinct(F.transform(tokens_col("text"), F.lower))
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(low, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        )
+        for lang in LANG_ORDER
+    }
+    sel = docs.select("doc_id", *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return sel.select("doc_id", pred.alias("lang_pred"), best.alias("lang_hits"))
+
+
+def fingerprints(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, content_hash, min_shingle_hash) — exact-copy hash plus the
+    winnowing-style minimum shingle hash (stable under small edits)."""
+    from .dedup import doc_shingles
+
+    content = docs.select("doc_id", phash(F.col("text")).alias("content_hash"))
+    min_sh = (
+        doc_shingles(docs, shingle_n)
+        .select("doc_id", phash(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("min_shingle_hash"))
+    )
+    return content.join(min_sh, "doc_id", "left")

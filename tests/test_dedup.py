@@ -1,0 +1,114 @@
+"""Dedup operator semantics on hand-built corpora (NumPy/pure-Python
+oracles, independent of the DuckDB driver check)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_pagerank_rpi_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text, n=3):
+    toks = text.split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "quick brown fox jumps over the lazy dog"),      # near dup (drop 1)
+    (4, "an entirely different sentence about spark engines"),
+    (5, "an entirely different sentence about flink engines"),
+    (6, "ok"),                                           # shorter than n
+    (7, "ok"),                                           # exact dup of 6
+    (8, ""),                                             # empty
+]
+
+
+def test_exact_duplicates(spark):
+    out = dedup.exact_duplicates(_docs(spark, CORPUS)).collect()
+    got = {(r.doc_id, r.canonical_id) for r in out}
+    assert got == {(1, 1), (2, 1), (6, 6), (7, 6)}
+
+
+def test_shingles_match_python_oracle(spark):
+    sh = dedup.doc_shingles(_docs(spark, CORPUS)).collect()
+    got: dict[int, set] = {}
+    for r in sh:
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    for doc_id, text in CORPUS:
+        expected = _shingles(text)
+        assert got.get(doc_id, set()) == expected, doc_id
+
+
+def test_ngram_jaccard_pairs_exact_values(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark, CORPUS), threshold=0.2).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(CORPUS, 2):
+        j = _jaccard(ta, tb)
+        if j >= 0.2 and _shingles(ta) & _shingles(tb):
+            expected[(ia, ib)] = j
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    out = dedup.minhash_dedup_pairs(_docs(spark, CORPUS), threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # exact duplicates always collide in every band
+    assert (1, 2) in pairs and (6, 7) in pairs
+    # jaccard values on emitted pairs are exact
+    for r in out:
+        ta = dict(CORPUS)[r.doc_a]
+        tb = dict(CORPUS)[r.doc_b]
+        assert r.jaccard == pytest.approx(_jaccard(ta, tb), abs=1e-12)
+    # unrelated docs don't pair
+    assert not any({a, b} == {4, 1} for a, b in pairs)
+
+
+def test_simhash_identical_docs_and_bands(spark):
+    sim = dedup.simhash(_docs(spark, CORPUS))
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical simhash
+    assert 0 <= vals[1] < (1 << dedup.SIMHASH_BITS)
+    pairs = dedup.simhash_pairs(sim, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert got.get((6, 7)) == 0
+    # hamming values agree with a python recomputation
+    for (a, b), h in got.items():
+        assert bin(vals[a] ^ vals[b]).count("1") == h
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """Any pair within hamming <= bands-1 shares a band chunk (pigeonhole),
+    so simhash_pairs must find ALL such pairs among the corpus."""
+    sim = dedup.simhash(_docs(spark, CORPUS))
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(sim, max_hamming=dedup.SIMHASH_BANDS - 1).collect()
+    }
+    for a, b in itertools.combinations(sorted(vals), 2):
+        if bin(vals[a] ^ vals[b]).count("1") <= dedup.SIMHASH_BANDS - 1:
+            assert (a, b) in found

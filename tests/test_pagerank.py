@@ -1,0 +1,93 @@
+"""PageRank operator vs a NumPy power-method oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_pagerank_rpi_spark.operators import pagerank
+from bm25_pagerank_rpi_spark.sources.transcripts import with_doc_identity
+
+
+def _np_pagerank(n, edges, d=0.85, iters=10, redistribute=False):
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nr = np.full(n, (1 - d) / n)
+        for s, t in edges:
+            nr[t] += d * r[s] / outdeg[s]
+        if redistribute:
+            dangling = sum(r[v] for v in range(n) if v not in outdeg)
+            nr += d * dangling / n
+        r = nr
+    return r
+
+
+EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0)]  # node 5 dangling
+N = 6
+
+
+def _dfs(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(N)], "node long")
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    return nodes, edges
+
+
+@pytest.mark.parametrize("redistribute", [False, True])
+def test_pagerank_matches_numpy(spark, redistribute):
+    nodes, edges = _dfs(spark)
+    got = {
+        r.node: r.pagerank
+        for r in pagerank.pagerank(
+            nodes, edges, iterations=10, redistribute_dangling=redistribute
+        ).collect()
+    }
+    expect = _np_pagerank(N, EDGES, iters=10, redistribute=redistribute)
+    for v in range(N):
+        assert got[v] == pytest.approx(expect[v], abs=1e-12), v
+    if redistribute:
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_link_info_counts(spark):
+    nodes, edges = _dfs(spark)
+    got = {r.node: (r.inlinks, r.outlinks) for r in pagerank.link_info(nodes, edges).collect()}
+    assert got[0] == (3, 1)
+    assert got[2] == (1, 2)
+    assert got[5] == (0, 0)
+
+
+def test_transcript_edges_shape(spark):
+    rows = [
+        ("c1", 0, "user", "t", "none", None),
+        ("c1", 1, "assistant", "t", "none", None),
+        ("c1", 2, "user", "t", "none", None),
+        ("c2", 0, "user", "t", "none", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    edges = {
+        (r.src, r.dst)
+        for r in pagerank.transcript_edges(with_doc_identity(t)).collect()
+    }
+    assert edges == {
+        ("c1:0", "c1:1"),
+        ("c1:1", "c1:2"),
+        ("c1:1", "c1:0"),
+        ("c1:2", "c1:0"),
+    }
+    # every non-root node has out-degree >= 1; single-turn conv c2 has none
+    srcs = {s for s, _ in edges}
+    assert "c2:0" not in srcs
+
+
+def test_pagerank_empty_graph(spark):
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r.node: r.pagerank for r in pagerank.pagerank(nodes, edges, iterations=3).collect()}
+    # no edges: every iteration resets to (1-d)/N
+    assert got[0] == pytest.approx(0.15 / 2, abs=1e-12)

@@ -1,0 +1,75 @@
+"""Text-analysis operator semantics vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bm25_pagerank_rpi_spark.operators import textstats
+
+ROWS = [
+    (1, "The quick brown fox, it jumps over the lazy dog!"),
+    (2, "el perro y el gato en la casa de la abuela"),
+    (3, "le chat est sur le toit de la maison pour dormir"),
+    (4, "der hund und die katze sind in den garten von mir"),
+    (5, "xxyy zz qq"),
+    (6, ""),
+    (7, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    got = {r.doc_id: r for r in textstats.token_counts(_docs(spark)).collect()}
+    for doc_id, text in ROWS:
+        toks = text.split()
+        subwords = re.findall(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]", text)
+        r = got[doc_id]
+        assert r.n_chars == len(text)
+        assert r.n_tokens == len(toks)
+        assert r.n_subwords == len(subwords)
+        expect_avg = sum(map(len, toks)) / len(toks) if toks else 0.0
+        assert r.avg_token_len == pytest.approx(expect_avg, abs=1e-12)
+
+
+def test_quality_features(spark):
+    got = {r.doc_id: r for r in textstats.quality_features(_docs(spark)).collect()}
+    r = got[1]
+    text = ROWS[0][1]
+    toks = text.split()
+    stop = sum(1 for t in toks if t.lower() in textstats.STOPWORDS["en"])
+    assert r.stopword_ratio == pytest.approx(stop / len(toks), abs=1e-12)
+    assert r.punct_ratio == pytest.approx(2 / len(text), abs=1e-12)  # ',' and '!'
+    # repetition detector: doc 7 is one token repeated
+    assert got[7].unique_token_ratio == pytest.approx(1 / 12, abs=1e-12)
+    # empty doc scores 0 everywhere except punct bonus
+    assert got[6].n_tokens == 0 and got[6].quality_score == pytest.approx(0.25)
+    for r in got.values():
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id(spark):
+    got = {r.doc_id: r.lang_pred for r in textstats.lang_id(_docs(spark)).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "fr"
+    assert got[4] == "de"
+    assert got[5] == "und"
+    assert got[6] == "und"
+
+
+def test_fingerprints_stability(spark):
+    fp = {r.doc_id: r for r in textstats.fingerprints(_docs(spark)).collect()}
+    # identical text -> identical hashes; distinct text -> distinct content hash
+    assert fp[1].content_hash != fp[2].content_hash
+    assert fp[6].min_shingle_hash is None  # empty doc has no shingles
+    # near-edit stability: dropping ONE trailing token keeps min-shingle
+    # hash with high probability; at minimum the column is deterministic
+    again = {r.doc_id: r for r in textstats.fingerprints(_docs(spark)).collect()}
+    for k in fp:
+        assert fp[k].content_hash == again[k].content_hash
+        assert fp[k].min_shingle_hash == again[k].min_shingle_hash
