@@ -421,3 +421,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bottom so they can use this module's ``register`` without a cycle)
 from . import entry_queries_pipeline  # noqa: E402,F401
 from . import entry_queries_graph  # noqa: E402,F401
+from . import entry_queries_ltr  # noqa: E402,F401
