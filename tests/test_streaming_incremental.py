@@ -1,0 +1,100 @@
+"""Incremental (Structured Streaming) index maintenance: segment appends,
+exactly-once re-runs, and rank parity with a from-scratch batch scorer."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_pagerank_rpi_spark.operators import query_exact, scorer, wand
+from bm25_pagerank_rpi_spark.streaming.incremental import run_incremental_build
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        [
+            (c, t, "user", text, "none", datetime.datetime(2025, 1, 1))
+            for (c, t, text) in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+BATCH1 = [
+    ("c0", 0, "spark hash join table"),
+    ("c0", 1, "merge sort join window"),
+    ("c1", 0, "hash hash table scan"),
+]
+BATCH2 = [
+    ("c2", 0, "table table table spark scan extra"),
+    ("c2", 1, "window filter key value merge"),
+]
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [("q1", "hash table spark")], "query_id string, text string"
+    )
+
+
+def _exact_from_raw(spark, rows, k=10):
+    docs = spark.createDataFrame(
+        [(f"{c}:{t}", text) for (c, t, text) in rows], "doc_id string, text string"
+    )
+    return {
+        (r.doc_id, r.rank): r.bm25
+        for r in scorer.rank_documents(docs, _queries(spark), k=k).collect()
+    }
+
+
+def test_incremental_build_and_parity(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, in_dir, BATCH1)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4)
+    n, avgdl = cat.scalar_stats()
+    assert n == 3
+
+    got1 = {
+        (r.doc_id, r.rank): r.bm25
+        for r in query_exact.rank_from_index(cat, _queries(spark)).collect()
+    }
+    assert got1.keys() == _exact_from_raw(spark, BATCH1).keys()
+    for k_, v in _exact_from_raw(spark, BATCH1).items():
+        assert got1[k_] == pytest.approx(v, abs=1e-12)
+
+    # append a second batch of files -> only the delta is ingested
+    _write_batch(spark, in_dir, BATCH2)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4)
+    n2, avgdl2 = cat.scalar_stats()
+    assert n2 == 5
+    assert avgdl2 != avgdl  # normalizer shifted -> blocks were re-encoded
+
+    full = _exact_from_raw(spark, BATCH1 + BATCH2)
+    got2 = {
+        (r.doc_id, r.rank): r.bm25
+        for r in query_exact.rank_from_index(cat, _queries(spark)).collect()
+    }
+    assert got2.keys() == full.keys()
+    for k_, v in full.items():
+        assert got2[k_] == pytest.approx(v, abs=1e-12)
+
+    # WAND path over the incrementally built index is rank-identical too
+    wd = {
+        (r.doc_id, r.rank): r.bm25
+        for r in wand.wand_topk(cat, _queries(spark), k=10).collect()
+    }
+    assert wd.keys() == full.keys()
+    for k_, v in full.items():
+        assert wd[k_] == pytest.approx(v, abs=1e-12)
+
+    # re-run with no new files: exactly-once, nothing double-appended
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4)
+    assert cat.scalar_stats()[0] == 5
+    segs = cat.read_manifest()["segments"]
+    assert sum(s["turns"] for s in segs) == 5
