@@ -304,6 +304,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K)
 
 
+# GEMM scale path, same output contract -> same oracle
+from .entry_queries import ORACLES as _ORACLES  # noqa: E402
+
+register("ann_gemm_topk", _ORACLES["ann_cosine_topk"])(
+    lambda spark, sf_dir: similarity.brute_force_topk_gemm(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY_IDS, k=ANN_K
+    )
+)
+
+
 @register(
     "ann_lsh_topk",
     f"""

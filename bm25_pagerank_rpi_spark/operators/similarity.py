@@ -75,11 +75,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank) — exact cosine top-k per query vector.
 
+    Per-vector norms are computed ONCE and carried next to the vector, so
+    each pair costs a single zip_with/aggregate fold (interpreted
+    higher-order functions are the bottleneck of this path; the GEMM
+    variant below is the high-|Q| scale path).
+
     Rank is computed on the 6-dp-rounded score with vec_id tie-break, the
     same convention as BM25 top-k, so ordering is engine-independent."""
-    vecs = _vecs(emb)
+    vecs = _vecs(emb).withColumn("nrm", norm(F.col("v")))
     q = vecs.filter(F.col("vec_id").isin(query_vec_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         vecs.crossJoin(F.broadcast(q))
@@ -87,11 +94,66 @@ def brute_force_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_gemm(
+    emb: DataFrame, query_vec_ids: list[int], k: int = 10
+) -> DataFrame:
+    """GEMM scale path for the same query: the query matrix broadcasts to
+    every task; each Arrow batch of corpus vectors is scored with one
+    numpy matmul and reduced to a per-batch top-k, so the final global
+    window sees |tasks| * |Q| * k rows instead of |corpus| * |Q|.
+    Output contract identical to :func:`brute_force_topk`."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    vecs = _vecs(emb)
+    qrows = vecs.filter(F.col("vec_id").isin(query_vec_ids)).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos double, rank int"
+        )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.v for r in qrows], dtype=np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bqids = spark.sparkContext.broadcast(qids)
+    bqm = spark.sparkContext.broadcast(qm_n)
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            scores = bqm.value @ m.T  # (Q, batch)
+            out = []
+            for qi, qid in enumerate(bqids.value):
+                s = scores[qi]
+                mask = ids != qid
+                sm, im = s[mask], ids[mask]
+                take = min(k, sm.size)
+                if take == 0:
+                    continue
+                part = np.argpartition(-sm, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": im[part], "cos": np.round(sm[part], 6)}
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cos": []}
+            )
+
+    partial = vecs.mapInPandas(fn, "query_id long, vec_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_bucket_col(v: Column, planes: list[list[float]]) -> Column:
@@ -105,7 +167,11 @@ def lsh_bucket_col(v: Column, planes: list[list[float]]) -> Column:
 
 def with_lsh_bucket(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
     planes = planes or hyperplanes()
-    return _vecs(emb).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    return (
+        _vecs(emb)
+        .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        .withColumn("nrm", norm(F.col("v")))
+    )
 
 
 def lsh_topk(
@@ -117,7 +183,10 @@ def lsh_topk(
     brute-force path is the exactness oracle."""
     b = with_lsh_bucket(emb, planes)
     q = b.filter(F.col("vec_id").isin(query_vec_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
     )
     scored = (
         b.join(F.broadcast(q), "bucket")
@@ -125,7 +194,9 @@ def lsh_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -142,15 +213,23 @@ def cosine_dedup_pairs(
     vectors agree); the within-bucket pair scan is ~|bucket|^2 but buckets
     are 1/2^n_planes of the corpus."""
     b = with_lsh_bucket(emb, planes)
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    c = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

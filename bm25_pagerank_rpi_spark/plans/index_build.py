@@ -153,7 +153,7 @@ def build_index(
             F.avg("doc_length").alias("avg_doc_length"),
         )
         cat.write(stats, "corpus_stats")
-        n = cat.doc_meta().count()
+        n = acc  # total from the offset pass; no extra count job
         return out, n, {"doc_count": n}
 
     run_stage("doc_meta", stage_doc_meta)
@@ -171,6 +171,9 @@ def build_index(
                 "term", "doc_int", "tf", "doc_length",
                 term_bucket("term", n_buckets).alias("bucket"),
             )
+            # co-locate each bucket into one write task: n_buckets files
+            # instead of (shuffle_partitions x n_buckets) small files
+            .repartition(n_buckets, "bucket")
         )
         out = cat.write(post, "postings", partition_by=["bucket"])
         n = cat.postings().count()
@@ -196,6 +199,7 @@ def build_index(
             ranged.groupBy("term", "range_id")
             .applyInPandas(enc, schema=BLOCK_SCHEMA)
             .withColumn("bucket", term_bucket("term", n_buckets))
+            .repartition(n_buckets, "bucket")
         )
         out = cat.write(blocks, "blocks", partition_by=["bucket"])
         n = cat.blocks().count()
