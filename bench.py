@@ -78,6 +78,25 @@ def main() -> None:
     cat = timed("build", lambda: build_index(spark, transcripts, INDEX_DIR))
     build_tps = n_turns / timings["build"]
 
+    if os.environ.get("BENCH_BUILD_ONLY"):
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_seconds",
+                    "value": timings["build"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "cores": CPUS,
+                    "turns": n_turns,
+                    "build_turns_per_sec": round(build_tps, 1),
+                    "replicas": REPLICAS,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     queries_df = spark.createDataFrame(
         [("q1", QUERY_TEXT)], "query_id string, text string"
     )

@@ -229,9 +229,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _feature_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    dlen = scorer.doc_lengths(docs)
+    dlen = scorer.doc_lengths(docs).persist()
     return scorer.score_candidates(
-        scorer.doc_term_frequencies(docs),
+        scorer.doc_term_frequencies(docs).persist(),
         dlen,
         scorer.corpus_stats(dlen),
         _queries_df(spark),

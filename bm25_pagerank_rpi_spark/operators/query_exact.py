@@ -40,7 +40,9 @@ def rank_from_index(
     with_meta: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, bm25, rank [, url features]) — exact path."""
-    post = pruned_postings(cat, queries)
+    # pruned postings feed three consumers in score_candidates; persist so
+    # the pruned scan + broadcast semi-join run once
+    post = pruned_postings(cat, queries).persist()
     doc_tf = post.select("term", F.col("doc_int").alias("doc_id"), "tf")
     # doc lengths for candidate docs come off the pruned postings — no
     # join against the full doc_meta table before truncation

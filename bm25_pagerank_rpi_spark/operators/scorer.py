@@ -226,9 +226,16 @@ def rank_documents(
 ) -> DataFrame:
     """End-to-end exact path from raw (doc_id, text) docs: the Spark twin of
     reference ranker.go:11-74. Returns (query_id, doc_id, bm25, rank,
-    <feature block>) truncated to top-k per query."""
-    dtf = doc_term_frequencies(docs)
-    dlen = doc_lengths(docs)
+    <feature block>) truncated to top-k per query.
+
+    ``doc_tf``/``doc_len`` are persisted: score_candidates consumes the
+    term-frequency relation three times (idf, candidate discovery, the
+    occurrence join) and without an explicit persist each consumer
+    re-runs the tokenize + hash-agg lineage — the dominant cost of the
+    from-raw path. (ReuseExchange only dedups bit-identical subplans;
+    column-pruning variants defeat it.)"""
+    dtf = doc_term_frequencies(docs).persist()
+    dlen = doc_lengths(docs).persist()
     stats = corpus_stats(dlen)
     scored = score_candidates(dtf, dlen, stats, queries)
     return topk(scored, k)

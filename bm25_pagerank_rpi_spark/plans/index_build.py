@@ -94,12 +94,26 @@ def build_index(
     out_dir: str,
     n_buckets: int = 32,
     block_size: int = codec.DEFAULT_BLOCK_SIZE,
-    range_rows: int = 1 << 20,
+    range_rows: int | None = None,
     resume: bool = True,
 ) -> IndexCatalog:
-    """Run (or resume) the full build. Returns the catalog over ``out_dir``."""
+    """Run (or resume) the full build. Returns the catalog over ``out_dir``.
+
+    ``range_rows`` (the doc-range salt width for stage 3) defaults to
+    ~corpus/128 so a hot term's postings split into ~128 doc-contiguous
+    encode groups — the salt MUST engage for the blocks stage to scale
+    with executors (a single range degenerates to |vocab|-way
+    parallelism). It is persisted in the manifest and reused on resume so
+    a resumed build produces byte-identical block layout. Trade-off
+    documented in §4: with a zipf vocabulary, global doc-ranges fragment
+    the long tail (a df=10 term may split into 10 single-posting blocks);
+    a production variant salts by per-term posting ordinal for tail terms
+    instead."""
     cat = IndexCatalog(spark, out_dir)
     manifest = cat.read_manifest()
+    prior = manifest.get("config", {})
+    if range_rows is None:
+        range_rows = prior.get("range_rows")  # resume keeps the layout
     manifest["config"] = {
         "n_buckets": n_buckets,
         "block_size": block_size,
@@ -157,6 +171,13 @@ def build_index(
         return out, n, {"doc_count": n}
 
     run_stage("doc_meta", stage_doc_meta)
+
+    if range_rows is None:
+        n_docs = int(cat.read_manifest()["stages"]["doc_meta"]["rows"] or 0)
+        range_rows = max(block_size * 2, math.ceil(max(n_docs, 1) / 128))
+        manifest = cat.read_manifest()
+        manifest["config"]["range_rows"] = range_rows
+        cat.write_manifest(manifest)
 
     # ---- stage 2: postings --------------------------------------------------
     def stage_postings():
