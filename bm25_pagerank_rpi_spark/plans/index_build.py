@@ -88,6 +88,68 @@ def _make_encode_fn(block_size: int, blocks_per_range: int):
     return encode
 
 
+def _make_encode_partition_fn(block_size: int, blocks_per_range: int):
+    """Partition-level encoder: one Arrow stream per TASK instead of one
+    Arrow round-trip per (term, range_id) group. Input partitions must be
+    hash-distributed by (term, range_id) and sorted by
+    (term, range_id, doc_int); groups spanning Arrow batch boundaries are
+    buffered (a group holds at most range_rows postings)."""
+
+    def _boundaries(terms: np.ndarray, rids: np.ndarray) -> np.ndarray:
+        change = np.empty(terms.size, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+        return np.flatnonzero(change)
+
+    def encode_groups(pdf: pd.DataFrame):
+        """Input rows are sorted by (term, range_id, doc_int) -> groups are
+        CONTIGUOUS; boundary detection + direct numpy slicing avoids the
+        pandas string-groupby machinery (7s/1M rows of factorize+take)."""
+        terms = pdf["term"].to_numpy()
+        rids = pdf["range_id"].to_numpy(dtype=np.int64)
+        docs = pdf["doc_int"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        facs = pdf["factor"].to_numpy(dtype=np.float64)
+        starts = _boundaries(terms, rids)
+        ends = np.append(starts[1:], terms.size)
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            for b in codec.blocks_for_term(
+                docs[s:e], tfs[s:e], facs[s:e],
+                block_size=block_size,
+                first_block_id=int(rids[s]) * blocks_per_range,
+            ):
+                b["term"] = terms[s]
+                b["n_postings"] = b.pop("count")
+                rows.append(b)
+        return pd.DataFrame(rows) if rows else None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            # keep the (possibly batch-spanning) last group buffered
+            starts = _boundaries(
+                pdf["term"].to_numpy(), pdf["range_id"].to_numpy(dtype=np.int64)
+            )
+            last_start = int(starts[-1])
+            head, pending = pdf.iloc[:last_start], pdf.iloc[last_start:]
+            if len(head):
+                out = encode_groups(head)
+                if out is not None:
+                    yield out
+        if pending is not None and len(pending):
+            out = encode_groups(pending)
+            if out is not None:
+                yield out
+
+    return fn
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -109,6 +171,13 @@ def build_index(
     the long tail (a df=10 term may split into 10 single-posting blocks);
     a production variant salts by per-term posting ordinal for tail terms
     instead."""
+    # degenerate-input guard: a source read as a handful of partitions
+    # (one small file, a broadcast-built frame) would serialize the
+    # tokenize/explode map chains onto those few cores
+    min_part = spark.sparkContext.defaultParallelism
+    if transcripts.rdd.getNumPartitions() < min_part:
+        transcripts = transcripts.repartition(min_part * 2)
+
     cat = IndexCatalog(spark, out_dir)
     manifest = cat.read_manifest()
     prior = manifest.get("config", {})
@@ -127,6 +196,17 @@ def build_index(
         t0 = time.time()
         output, rows, metrics = fn()
         cat.record_stage(name, output, rows, time.time() - t0, metrics)
+        # stage boundary hygiene: drop leaked cache entries and nudge the
+        # JVM to collect shuffle/broadcast garbage NOW rather than during
+        # the next stage's hot loop. In single-JVM local mode the GC debt
+        # of one stage otherwise lands on the next stage's wall clock
+        # (observed 2-4x slowdowns); on a real cluster this is a no-op
+        # between jobs.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # ---- stage 1: doc_meta + corpus_stats ----------------------------------
     def stage_doc_meta():
@@ -181,14 +261,20 @@ def build_index(
 
     # ---- stage 2: postings --------------------------------------------------
     def stage_postings():
+        # attach (doc_int, doc_length) BEFORE the explode: the join moves
+        # 1 row per doc instead of 1 per token, and every later shuffle
+        # keys on int64 (term hash, doc_int) rather than the doc_id string
         meta = cat.doc_meta().select("doc_id", "doc_int", "doc_length")
-        toks = with_doc_identity(transcripts).select(
-            "doc_id", F.explode(tokens_col("text")).alias("term")
+        joined = with_doc_identity(transcripts).select("doc_id", "text").join(meta, "doc_id")
+        toks = joined.select(
+            "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
         )
-        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        tf = toks.groupBy("term", "doc_int").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
+        )
         post = (
-            tf.join(meta, "doc_id")
-            .select(
+            tf.select(
                 "term", "doc_int", "tf", "doc_length",
                 term_bucket("term", n_buckets).alias("bucket"),
             )
@@ -212,13 +298,16 @@ def build_index(
             tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.lit(avgdl)))
         )
         blocks_per_range = range_rows // block_size + 1
-        enc = _make_encode_fn(block_size, blocks_per_range)
+        enc = _make_encode_partition_fn(block_size, blocks_per_range)
         ranged = post.withColumn("factor", factor).withColumn(
             "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
         )
+        npart = max(spark.sparkContext.defaultParallelism * 2, 8)
         blocks = (
-            ranged.groupBy("term", "range_id")
-            .applyInPandas(enc, schema=BLOCK_SCHEMA)
+            ranged.select("term", "range_id", "doc_int", "tf", "factor")
+            .repartition(npart, "term", "range_id")
+            .sortWithinPartitions("term", "range_id", "doc_int")
+            .mapInPandas(enc, schema=BLOCK_SCHEMA)
             .withColumn("bucket", term_bucket("term", n_buckets))
             .repartition(n_buckets, "bucket")
         )

@@ -26,7 +26,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # partitions sized for DATA (spill avoidance), not core count: a
+        # reduce task should hold a bounded slice regardless of cluster
+        # size; AQE coalesces the excess away at runtime. cores*8 keeps an
+        # 8-core run from cramming a big aggregate into 8 hash maps.
+        shuffle_partitions = max(cores * 8, 64)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -34,10 +38,21 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(cores * 16, 128)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # sandbox: one shared virtio disk serializes shuffle I/O across all
+        # "executors"; SPARK_GRAFT_LOCAL_DIR=/dev/shm/... stands in for
+        # per-executor local disks during scaling measurements
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

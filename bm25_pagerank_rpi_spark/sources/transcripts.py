@@ -54,7 +54,12 @@ def synthesize_transcripts(
         docs = docs.withColumn("rep", F.lit(0))
 
     gid = (F.col("src_id") * replicas + F.col("rep")).alias("gid")
-    out = docs.select(gid, "text")
+    # the small parquet read + broadcast crossJoin would otherwise leave ONE
+    # partition, serializing every downstream map chain (tokenize/explode)
+    # onto a single core until the first shuffle
+    out = docs.select(gid, "text").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     turn = (F.col("gid") % TURNS_PER_CONV).cast("int")
     conv = F.format_string("conv_%08d", (F.col("gid") / TURNS_PER_CONV).cast("long"))
     return out.select(

@@ -97,13 +97,13 @@ def reencode_blocks(cat: IndexCatalog, block_size: int | None = None) -> None:
     """Re-run the blocks + terms stages from the postings table with the
     CURRENT corpus stats (factors depend on avg_doc_length)."""
     from ..index import codec
-    from ..plans.index_build import BLOCK_SCHEMA, _make_encode_fn
+    from ..plans.index_build import BLOCK_SCHEMA, _make_encode_partition_fn
     from .. import B, K1
 
     cfg = cat.read_manifest().get("config", {})
-    n_buckets = int(cfg.get("n_buckets", 32))
-    block_size = block_size or int(cfg.get("block_size", codec.DEFAULT_BLOCK_SIZE))
-    range_rows = int(cfg.get("range_rows", 1 << 20))
+    n_buckets = int(cfg.get("n_buckets") or 32)
+    block_size = block_size or int(cfg.get("block_size") or codec.DEFAULT_BLOCK_SIZE)
+    range_rows = int(cfg.get("range_rows") or 1 << 20)
 
     _, avgdl = cat.scalar_stats()
     post = cat.postings()
@@ -113,13 +113,16 @@ def reencode_blocks(cat: IndexCatalog, block_size: int | None = None) -> None:
         tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.lit(avgdl)))
     )
     blocks_per_range = range_rows // block_size + 1
-    enc = _make_encode_fn(block_size, blocks_per_range)
+    enc = _make_encode_partition_fn(block_size, blocks_per_range)
     ranged = post.withColumn("factor", factor).withColumn(
         "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
     )
+    npart = max(cat.spark.sparkContext.defaultParallelism * 2, 8)
     blocks = (
-        ranged.groupBy("term", "range_id")
-        .applyInPandas(enc, schema=BLOCK_SCHEMA)
+        ranged.select("term", "range_id", "doc_int", "tf", "factor")
+        .repartition(npart, "term", "range_id")
+        .sortWithinPartitions("term", "range_id", "doc_int")
+        .mapInPandas(enc, schema=BLOCK_SCHEMA)
         .withColumn("bucket", term_bucket("term", n_buckets))
     )
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(cat.path("blocks"))
