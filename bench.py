@@ -118,6 +118,22 @@ def main() -> None:
         lambda: query_exact.rank_from_index(cat, queries_df, k=K).count(),
     )
 
+    # p50 serving latency: distinct single queries through the WAND path
+    # (the north-rule metric), measured after the path is warm
+    p50_queries = [
+        "hash join table", "key value spark", "filter window merge",
+        "table scan batch", "group order vector", "column row data",
+        "stream join key",
+    ]
+    lat = []
+    for i, text in enumerate(p50_queries):
+        qdf = spark.createDataFrame([(f"p{i}", text)], "query_id string, text string")
+        t0 = time.time()
+        wand.wand_topk(cat, qdf, k=K).count()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["q_wand_p50"] = round(lat[len(lat) // 2], 3)
+
     # ---- representative operator families ----------------------------------
     for name in (
         "join_metadata_agg",

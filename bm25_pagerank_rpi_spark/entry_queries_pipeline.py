@@ -304,6 +304,37 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K)
 
 
+@register(
+    "postings_positions",
+    r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, toks[i] AS term, (i - 1)::INT AS pos
+  FROM tok, unnest(generate_series(1, len(toks))) AS g(i)
+)
+SELECT doc_id, term, count(*)::INT AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM occ GROUP BY doc_id, term
+""",
+)
+def q_postings_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 posting contract incl. Positions (reference types.go:92-96);
+    positions emitted as a comma-joined string for engine-portable
+    value hashing."""
+    from .operators import scorer
+
+    out = scorer.doc_term_positions(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "term", "tf",
+        F.array_join(F.transform("positions", lambda p: p.cast("string")), ",").alias(
+            "positions"
+        ),
+    )
+
+
 # GEMM scale path, same output contract -> same oracle
 from .entry_queries import ORACLES as _ORACLES  # noqa: E402
 

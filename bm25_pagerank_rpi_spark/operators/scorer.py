@@ -66,6 +66,21 @@ def doc_term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     )
 
 
+def doc_term_positions(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, positions) — the full reference posting contract
+    including 0-based token positions (documentIndex, reference
+    internal/ranking/types.go:92-96). Ranking never consumes positions
+    (features.go uses Frequency only), so the index build keeps them
+    opt-in (plans/index_build.py with_positions)."""
+    occ = doc_tokens(docs, id_col, text_col).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    return occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
 def corpus_stats(doc_len: DataFrame) -> DataFrame:
     """1-row (doc_count, avg_doc_length) — S4 (data_getters.go:115-144)."""
     return doc_len.agg(

@@ -158,6 +158,7 @@ def build_index(
     block_size: int = codec.DEFAULT_BLOCK_SIZE,
     range_rows: int | None = None,
     resume: bool = True,
+    with_positions: bool = False,
 ) -> IndexCatalog:
     """Run (or resume) the full build. Returns the catalog over ``out_dir``.
 
@@ -266,16 +267,33 @@ def build_index(
         # keys on int64 (term hash, doc_int) rather than the doc_id string
         meta = cat.doc_meta().select("doc_id", "doc_int", "doc_length")
         joined = with_doc_identity(transcripts).select("doc_id", "text").join(meta, "doc_id")
-        toks = joined.select(
-            "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
-        )
-        tf = toks.groupBy("term", "doc_int").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
-        )
+        if with_positions:
+            # reference posting contract carries token positions
+            # (documentIndex.Positions, types.go:92-96); the ranking math
+            # never reads them, so they are opt-in — at 10^12 turns the
+            # positions arrays dominate index storage
+            toks = joined.select(
+                "doc_int", "doc_length",
+                F.posexplode(tokens_col("text")).alias("pos", "term"),
+            )
+            tf = toks.groupBy("term", "doc_int").agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.max("doc_length").alias("doc_length"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            extra = ["positions"]
+        else:
+            toks = joined.select(
+                "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
+            )
+            tf = toks.groupBy("term", "doc_int").agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
+            )
+            extra = []
         post = (
             tf.select(
-                "term", "doc_int", "tf", "doc_length",
+                "term", "doc_int", "tf", "doc_length", *extra,
                 term_bucket("term", n_buckets).alias("bucket"),
             )
             # co-locate each bucket into one write task: n_buckets files

@@ -174,3 +174,24 @@ def test_resume_skips_completed_and_rebuilds_missing(spark, corpus, tmp_path):
         for r in cat2.blocks().collect()
     )
     assert blocks_after == blocks_before  # byte-identical rebuild
+
+
+def test_build_with_positions(spark, corpus, tmp_path):
+    """Opt-in positions column matches a pure-python oracle (the reference
+    posting contract, types.go:92-96)."""
+    out = str(tmp_path / "idx_pos")
+    cat = build_index(
+        spark, transcripts_df(spark, corpus), out, n_buckets=4, with_positions=True
+    )
+    meta = {r.doc_int: r.doc_id for r in cat.doc_meta().collect()}
+    got = {
+        (meta[r.doc_int], r.term): (r.tf, list(r.positions))
+        for r in cat.postings().collect()
+    }
+    for doc_id, text in corpus.items():
+        toks = text.split()
+        expect: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            expect.setdefault(t, []).append(i)
+        for t, pos in expect.items():
+            assert got[(doc_id, t)] == (len(pos), pos), (doc_id, t)
