@@ -82,6 +82,33 @@ def assemble(
     return out.select(*keys, *FEATURE_COLUMNS)
 
 
+# reference CSV header (internal/datagen/data_loader.go:93-101): the 24
+# Features fields in declaration order, then the label column "Y"
+REFERENCE_CSV_HEADER = [
+    "CoveredQueryTermNumber", "CoveredQueryTermRatio",
+    "SumTermFrequency", "MinTermFrequency", "MaxTermFrequency",
+    "MeanTermFrequency", "VarianceTermFrequency",
+    "StreamLength", "SumStreamLengthNormalizedTF",
+    "MinStreamLengthNormalizedTF", "MaxStreamLengthNormalizedTF",
+    "MeanStreamLengthNormalizedTF", "VarianceStreamLengthNormalizedTF",
+    "SumTFIDF", "MinTFIDF", "MaxTFIDF", "MeanTFIDF", "VarianceTFIDF",
+    "BM25", "NumSlashesInURL", "LengthOfURL",
+    "InlinkCount", "OutlinkCount", "PageRank", "Y",
+]
+
+
+def save_features_csv(features_df: DataFrame, path: str, label_col: str = "label") -> None:
+    """S9 — CSV sink with the reference's exact 25-column header
+    (data_loader.go:69-144): FEATURE_COLUMNS in declaration order renamed
+    to the Go field names, label emitted last as ``Y``. A consumer of the
+    reference's CSVs can read these unchanged."""
+    cols = [
+        F.col(src).alias(dst)
+        for src, dst in zip(FEATURE_COLUMNS, REFERENCE_CSV_HEADER[:-1])
+    ] + [F.col(label_col).alias("Y")]
+    features_df.select(*cols).write.mode("overwrite").option("header", True).csv(path)
+
+
 def log_examples(features_df: DataFrame, out_dir: str, query_id_col: str = "query_id") -> None:
     """S6 — the training-example sink. The reference gob-dumps the top-1000
     docs' feature vectors per served query to a uniquely-named file

@@ -65,3 +65,16 @@ def test_log_examples_sink_appends_partitioned(spark, tmp_path):
     import os
 
     assert any(p.startswith("query_id=") for p in os.listdir(out_dir))
+
+
+def test_save_features_csv_reference_header(spark, tmp_path):
+    df = _pipeline(spark).withColumn("label", F.lit(1))
+    out = str(tmp_path / "feat_csv")
+    features.save_features_csv(df, out)
+    import glob
+
+    part = glob.glob(f"{out}/part-*.csv")[0]
+    header = open(part).readline().strip().split(",")
+    assert header == features.REFERENCE_CSV_HEADER
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == df.count()
