@@ -223,6 +223,55 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The full north-rule serving path under the SAME value oracle as
+# bm25_topk: synthesize transcripts (replicas=1: doc_id <-> conv/turn is a
+# bijection), build the compressed block index (resumable -> cached across
+# driver invocations), answer via block-max WAND, and re-rank on the
+# 6-dp-rounded score so tie-breaks are engine-portable. WAND is
+# score-identical to the exact scorer (1e-12, tests/test_wand.py), so the
+# DuckDB full-corpus SQL must match it bit-for-bit after rounding.
+# ---------------------------------------------------------------------------
+
+@register(
+    "wand_topk_from_index",
+    SQL_SKELETON
+    + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+""",
+)
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators import wand as wand_mod
+    from .plans.index_build import build_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/driver_wand_index_{tag}"
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cat = build_index(spark, t, idx_dir, n_buckets=8)
+    out = wand_mod.wand_topk(cat, _queries_df(spark), k=1000)
+    # doc_id string "conv_%08d:turn" -> the original documents.doc_id long
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"), _r("bm25").alias("bm25")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4 — TF stats  /  A5 — normalized-TF stats  /  A6 — TF-IDF stats  /
 # A8 — covered-term count+ratio, all per candidate doc
 # ---------------------------------------------------------------------------
