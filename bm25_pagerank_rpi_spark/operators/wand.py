@@ -128,7 +128,7 @@ def _kth_guarantee(scores: np.ndarray, tail_neg: float, k: int) -> float:
 
 def _make_wand_fn(k: int):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (query_id,) = key
+        query_id = key[0]  # key = (query_id, range_id)
         docs, scores = _score_one_query(pdf, k)
         return pd.DataFrame(
             {"query_id": query_id, "doc_int": docs, "bm25": scores}
@@ -143,7 +143,17 @@ def wand_topk(
     k: int = MAX_DOCUMENTS,
 ) -> DataFrame:
     """(query_id, doc_id, doc_int, bm25, rank) — block-max pruned path,
-    rank-identical to ``query_exact.rank_from_index``."""
+    rank-identical to ``query_exact.rank_from_index``.
+
+    Distribution: work shards on (query_id, doc-range). The index builds
+    blocks per (term, range_id) over GLOBAL doc-int ranges, so every
+    shard holds the complete postings of its doc interval for every
+    query term — per-shard pruned scoring is exact for its docs, and the
+    union of per-shard top-k is a superset of the global top-k (merged
+    by one window). A query over 10^12 turns therefore fans out across
+    executors instead of funneling every posting block into one task;
+    per-shard pruning keeps its block-skip power because thresholds only
+    strengthen as candidates accumulate within the shard."""
     spark = cat.spark
     # query terms with multiplicity -> weight = mult * idf (duplicate query
     # terms contribute once per occurrence, features_test.go:498-513)
@@ -166,15 +176,26 @@ def wand_topk(
         [(r.query_id, r.term, r.weight) for r in qt_rows],
         "query_id string, term string, weight double",
     )
+    cfg = cat.read_manifest().get("config", {})
+    range_rows = int(cfg.get("range_rows") or 1 << 20)
+    block_size = int(cfg.get("block_size") or codec.DEFAULT_BLOCK_SIZE)
+    blocks_per_range = range_rows // block_size + 1
     blocks = (
         cat.blocks()
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms))      # row-group pruning
         .join(F.broadcast(qt_df), "term")
+        .withColumn(
+            "range_id", (F.col("block_id") / F.lit(blocks_per_range)).cast("long")
+        )
     )
-    result = blocks.groupBy("query_id").applyInPandas(_make_wand_fn(k), WAND_SCHEMA)
+    result = blocks.groupBy("query_id", "range_id").applyInPandas(
+        _make_wand_fn(k), WAND_SCHEMA
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_int"))
-    ranked = result.withColumn("rank", F.row_number().over(w))
+    ranked = result.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
     meta = cat.doc_meta().select("doc_int", "doc_id")
     return ranked.join(meta, "doc_int").select(
         "query_id", "doc_id", "doc_int", "bm25", "rank"
