@@ -82,6 +82,14 @@ def main() -> None:
     transcripts = spark.read.parquet(corpus_dir)
     n_turns = transcripts.count()  # warm-up scan, excluded from build time
 
+    # untimed warm-up build over a tiny sample: JIT/codegen compilation is
+    # a one-time per-JVM cost that long-running executors amortize away;
+    # without this the measured build charges it in full
+    warm_dir = f"{INDEX_DIR}_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, transcripts.limit(2000), warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
     cat = timed("build", lambda: build_index(spark, transcripts, INDEX_DIR))
     build_tps = n_turns / timings["build"]
