@@ -119,10 +119,16 @@ perdoc AS (
     max(coalesce(tf, 0))::BIGINT AS max_tf,
     avg(coalesce(tf, 0)) AS mean_tf,
     var_pop(coalesce(tf, 0)) AS var_tf,
-    sum(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS s_ntf,
-    min(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS mn_ntf,
-    max(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS mx_ntf,
-    avg(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS me_ntf,
+    -- dl constant per group: single-division form is EXACT (matches the
+    -- Spark side's integer-aggregate + one IEEE division bit-for-bit)
+    CASE WHEN max(doc_length) > 0
+         THEN sum(coalesce(tf, 0))::DOUBLE / max(doc_length) END AS s_ntf,
+    CASE WHEN max(doc_length) > 0
+         THEN min(coalesce(tf, 0))::DOUBLE / max(doc_length) END AS mn_ntf,
+    CASE WHEN max(doc_length) > 0
+         THEN max(coalesce(tf, 0))::DOUBLE / max(doc_length) END AS mx_ntf,
+    CASE WHEN max(doc_length) > 0
+         THEN sum(coalesce(tf, 0))::DOUBLE / max(doc_length) / count(*) END AS me_ntf,
     var_pop(CASE WHEN doc_length > 0 THEN coalesce(tf, 0)::DOUBLE / doc_length END) AS v_ntf,
     count(CASE WHEN idf IS NOT NULL THEN 1 END) AS n_idf_terms,
     sum(CASE WHEN idf IS NOT NULL THEN coalesce(tf, 0) * idf END) AS s_tfidf,

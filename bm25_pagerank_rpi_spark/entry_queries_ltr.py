@@ -223,7 +223,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode")  # mapInPandas stub -> rows-only driver check
+@register(
+    "multimodal_decode",
+    """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text))::INT AS n_bytes,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(list_avg(list_transform(string_split_regex(text, ''), c -> ascii(c))), 6)
+       END AS byte_mean
+FROM documents
+""",
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checks the Arrow decode path: n_bytes/byte_mean computed by the
+    mapInPandas byte-feature extractor vs DuckDB byte arithmetic over the
+    same utf-8 payloads (text is ASCII in the synthetic corpus, so ascii()
+    per char == byte value). The array-typed ``feature`` column stays out
+    of the driver projection (its canonicalizer can't sort list cells);
+    the feature vector itself is pinned by tests/test_multimodal.py."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return multimodal.decode_media(multimodal.media_table(docs))
+    out = multimodal.decode_media(multimodal.media_table(docs))
+    return out.select(
+        "doc_id", "media_type", "n_bytes", _r("byte_mean").alias("byte_mean")
+    )

@@ -136,18 +136,26 @@ def score_candidates(
 
     idf = term_idf(doc_tf, stats, qterms)
 
-    # candidate set + its doc_length: (query_id, doc_id, doc_length)
+    # candidate set + its doc_length: (query_id, doc_id, doc_length).
+    # qterms broadcasts so the big doc_tf relation is never exchanged on
+    # ``term`` for candidate discovery.
     cand = (
-        qterms.join(doc_tf.select("term", "doc_id"), "term")
+        doc_tf.select("term", "doc_id").join(F.broadcast(qterms), "term")
         .select("query_id", "doc_id")
         .distinct()
         .join(doc_len, "doc_id")
     )
 
     # occurrence × candidate grid; tf / idf attach as LEFT joins (missing
-    # tf -> 0 in stats, missing idf -> occurrence excluded from tfidf/bm25)
+    # tf -> 0 in stats, missing idf -> occurrence excluded from tfidf/bm25).
+    # qocc (|queries| × |terms| rows) broadcasts: joining the candidate
+    # relation on the LOW-cardinality ``query_id`` key via shuffle would
+    # hash every candidate row of a query into ONE reduce partition — a
+    # serial bottleneck growing with corpus size. Broadcasting keeps the
+    # candidates partitioned as produced; the following (doc_id, term) and
+    # (query_id, doc_id) shuffles are on well-distributed keys.
     occ = (
-        qocc.join(cand, "query_id")
+        cand.join(F.broadcast(qocc), "query_id")
         .join(doc_tf, ["doc_id", "term"], "left")
         .join(F.broadcast(idf.select("term", "idf")), "term", "left")
         .crossJoin(F.broadcast(stats))
@@ -178,10 +186,6 @@ def score_candidates(
         F.max(tf0).cast("long").alias("max_tf"),
         F.avg(tf0).alias("mean_tf"),
         F.var_pop(tf0).alias("var_tf"),
-        F.sum(ntf).alias("_sum_ntf"),
-        F.min(ntf).alias("_min_ntf"),
-        F.max(ntf).alias("_max_ntf"),
-        F.avg(ntf).alias("_mean_ntf"),
         F.var_pop(ntf).alias("_var_ntf"),
         F.count(tfidf).alias("n_idf_terms"),
         F.sum(tfidf).alias("_sum_tfidf"),
@@ -197,6 +201,21 @@ def score_candidates(
     def _zi(col: str) -> F.Column:  # zero-fallback for empty tfidf group
         return F.when(F.col("n_idf_terms") > 0, F.col(col)).otherwise(F.lit(0.0))
 
+    # ntf sum/min/max/mean: doc_length is CONSTANT within the group, so the
+    # reference's divide-first aggregation (features.go:85) is algebraically
+    # sum/min/max(tf)/dl with a SINGLE division — and that form is exact
+    # (integer aggregates + one correctly-rounded IEEE division), immune to
+    # the float-accumulation-order noise of summing tf_i/dl per occurrence.
+    # Variance keeps the divide-first accumulation (no exact shortcut).
+    dlo = F.col("stream_length").cast("double")
+    has_dl = F.col("stream_length") > 0
+
+    def _ntf(num: str, per_term: bool = False) -> F.Column:
+        e = F.col(num).cast("double") / dlo
+        if per_term:
+            e = e / F.col("n_terms").cast("double")
+        return F.when(has_dl, e).otherwise(F.lit(0.0))
+
     return per_doc.select(
         "query_id",
         "doc_id",
@@ -211,10 +230,10 @@ def score_candidates(
         "mean_tf",
         "var_tf",
         "stream_length",
-        _z("_sum_ntf").alias("sum_ntf"),
-        _z("_min_ntf").alias("min_ntf"),
-        _z("_max_ntf").alias("max_ntf"),
-        _z("_mean_ntf").alias("mean_ntf"),
+        _ntf("sum_tf").alias("sum_ntf"),
+        _ntf("min_tf").alias("min_ntf"),
+        _ntf("max_tf").alias("max_ntf"),
+        _ntf("sum_tf", per_term=True).alias("mean_ntf"),
         _z("_var_ntf").alias("var_ntf"),
         _zi("_sum_tfidf").alias("sum_tfidf"),
         _zi("_min_tfidf").alias("min_tfidf"),
