@@ -176,18 +176,14 @@ def wand_topk(
         [(r.query_id, r.term, r.weight) for r in qt_rows],
         "query_id string, term string, weight double",
     )
-    cfg = cat.read_manifest().get("config", {})
-    range_rows = int(cfg.get("range_rows") or 1 << 20)
-    block_size = int(cfg.get("block_size") or codec.DEFAULT_BLOCK_SIZE)
-    blocks_per_range = range_rows // block_size + 1
+    # range_id is STORED per block (all blocks covering a doc interval share
+    # it, across batch-built and incrementally-appended segments), so the
+    # shard mapping is independent of block_id arithmetic
     blocks = (
         cat.blocks()
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms))      # row-group pruning
         .join(F.broadcast(qt_df), "term")
-        .withColumn(
-            "range_id", (F.col("block_id") / F.lit(blocks_per_range)).cast("long")
-        )
     )
     result = blocks.groupBy("query_id", "range_id").applyInPandas(
         _make_wand_fn(k), WAND_SCHEMA

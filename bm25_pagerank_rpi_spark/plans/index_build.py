@@ -45,13 +45,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import B, K1
+from ..functions.ordinal import dense_ordinal
 from ..functions.tokenize import tokens_col
 from ..index import codec
 from ..sources.catalog import IndexCatalog, term_bucket
 from ..sources.transcripts import with_doc_identity
 
 BLOCK_SCHEMA = (
-    "term string, block_id long, n_postings int, min_doc long, max_doc long, "
+    "term string, range_id long, block_id long, n_postings int, "
+    "min_doc long, max_doc long, "
     "max_factor double, min_factor double, "
     "docs_enc binary, tfs_enc binary, factors_enc binary"
 )
@@ -71,6 +73,7 @@ def _make_encode_fn(block_size: int, blocks_per_range: int):
             [
                 {
                     "term": term,
+                    "range_id": int(range_id),
                     "block_id": b["block_id"],
                     "n_postings": b["count"],
                     "min_doc": b["min_doc"],
@@ -88,7 +91,9 @@ def _make_encode_fn(block_size: int, blocks_per_range: int):
     return encode
 
 
-def _make_encode_partition_fn(block_size: int, blocks_per_range: int):
+def _make_encode_partition_fn(
+    block_size: int, blocks_per_range: int, block_id_base: int = 0
+):
     """Partition-level encoder: one Arrow stream per TASK instead of one
     Arrow round-trip per (term, range_id) group. Input partitions must be
     hash-distributed by (term, range_id) and sorted by
@@ -117,9 +122,10 @@ def _make_encode_partition_fn(block_size: int, blocks_per_range: int):
             for b in codec.blocks_for_term(
                 docs[s:e], tfs[s:e], facs[s:e],
                 block_size=block_size,
-                first_block_id=int(rids[s]) * blocks_per_range,
+                first_block_id=block_id_base + int(rids[s]) * blocks_per_range,
             ):
                 b["term"] = terms[s]
+                b["range_id"] = int(rids[s])
                 b["n_postings"] = b.pop("count")
                 rows.append(b)
         return pd.DataFrame(rows) if rows else None
@@ -216,32 +222,11 @@ def build_index(
             "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "url",
             F.size(tokens_col("text")).alias("doc_length"),
         )
-        npart = max(spark.sparkContext.defaultParallelism, 4)
-        ranged = base.repartitionByRange(npart, "doc_id").withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        # persist so the count job and the ordinal job see the SAME range
-        # partitioning (range boundaries come from sampling)
-        ranged.persist()
         # per-partition ordinal + partition offsets = global dense ordinal
         # by doc_id order without a single-partition global sort
-        counts = ranged.groupBy("_pid").count().collect()
-        offsets, acc = {}, 0
-        for r in sorted(counts, key=lambda r: r._pid):
-            offsets[r._pid] = acc
-            acc += r["count"]
-        off_df = spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-        )
-        w = Window.partitionBy("_pid").orderBy("doc_id")
-        meta = (
-            ranged.withColumn("_rn", F.row_number().over(w))
-            .join(F.broadcast(off_df), "_pid")
-            .withColumn("doc_int", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
-            .drop("_pid", "_rn", "_offset")
-        )
+        meta, acc, pinned = dense_ordinal(base, "doc_id", "doc_int")
         out = cat.write(meta, "doc_meta")
-        ranged.unpersist()
+        pinned.unpersist()
         dlen = cat.doc_meta().select("doc_length")
         stats = dlen.agg(
             F.count(F.lit(1)).alias("doc_count"),

@@ -15,9 +15,10 @@ Tables:
   corpus_stats (doc_count, avg_doc_length)          — S4's stats service
   postings     (term, doc_int, tf, doc_length, bucket) partitioned by bucket
                                                     — S1's index service
-  blocks       (term, block_id, count, min_doc, max_doc, max_factor,
-                min_factor, docs_enc, tfs_enc, factors_enc, bucket)
-                partitioned by bucket               — compressed segments
+  blocks       (term, range_id, block_id, n_postings, min_doc, max_doc,
+                max_factor, min_factor, docs_enc, tfs_enc, factors_enc,
+                bucket) partitioned by bucket       — compressed segments;
+                range_id = doc_int // range_rows is the WAND shard key
   terms        (term, df, idf, max_factor, min_factor) — per-term stats
 """
 

@@ -4,23 +4,37 @@ The reference is strictly request/response + offline batch (SURVEY.md
 §2.7); this module is the Spark-native extra that makes the index keep
 up with a growing corpus: Structured Streaming over the transcript
 directory with ``Trigger.AvailableNow`` + ``foreachBatch``, each batch
-appended as a SEGMENT (LSM-style):
+appended as a SEGMENT (LSM-style). Cost is O(delta), not O(corpus):
 
-  per batch (all incremental):
-    - new docs get doc_ints ABOVE the current maximum, so segment doc
-      ranges are disjoint and posting blocks stay doc-ordered per term;
-    - doc_meta + postings are APPENDED (tokenize + TF agg touch only the
-      new turns — the dominant cost at 10^12 turns stays proportional to
-      the delta);
-    - corpus_stats are recomputed (cheap single agg).
-  then (full, but cheap relative to tokenize):
-    - the ``blocks`` + ``terms`` stages re-encode from the postings
-      table, because BM25's length normalizer avg_doc_length SHIFTS when
-      docs arrive — stale per-block factors would silently break the
-      rank-identical contract. Re-encode is one (term, range_id)
-      applyInPandas pass with no wide shuffle; a production variant
-      would re-encode only when avgdl drift exceeds an epsilon and lazily
-      compact, trading exactness between compactions (Lucene-style).
+  per batch (touches only the new turns):
+    - new docs get doc_ints ABOVE the current maximum via the same
+      range-partition + offset ordinal as the batch build (no
+      single-partition window), so segment doc ranges are disjoint and
+      posting blocks stay doc-ordered per term;
+    - doc_meta + postings are APPENDED;
+    - corpus_stats are recomputed (cheap single agg over doc lengths).
+  per run (after all batches):
+    - BM25's length normalizer avg_doc_length shifts as docs arrive.
+      Re-encoding every block per append would be O(corpus), so the
+      normalizer is FROZEN at the last compaction (``encode_avgdl`` in
+      the manifest, Lucene-style): while relative drift stays under
+      ``avgdl_epsilon`` only the NEW segments' postings are encoded
+      (with the frozen normalizer, so all live blocks agree) and
+      appended; per-term stats are re-aggregated from block METADATA
+      (no decode, binary columns pruned from the scan). Scores between
+      compactions are exact under the frozen normalizer — within an
+      O(epsilon) band of true BM25.
+    - when drift exceeds epsilon (or on the first run) the index
+      COMPACTS: all blocks re-encode from the postings table with the
+      current normalizer, restoring exact-BM25 parity with a
+      from-scratch build.
+
+Block identity across segments: every block stores its ``range_id``
+(doc_int // range_rows), which is what the WAND path shards on — so a
+doc interval's blocks land in one shard whether they came from the
+batch build or a later segment. Delta-encoded blocks get block_ids in a
+per-generation namespace (``gen * GEN_STRIDE``) so ids never collide
+with earlier generations that already cover the same (term, range).
 
 Exactly-once: the streaming checkpoint (``checkpointLocation``) dedupes
 input files across restarts, so a crashed ingest run resumes without
@@ -30,12 +44,17 @@ manifests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.errors.exceptions.base import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ordinal import dense_ordinal
 from ..functions.tokenize import tokens_col
 from ..sources.catalog import IndexCatalog, term_bucket
 from ..sources.transcripts import TRANSCRIPT_SCHEMA, with_doc_identity
+
+DEFAULT_AVGDL_EPSILON = 0.01
+GEN_STRIDE = 1 << 40  # block_id namespace per delta generation
 
 
 def stream_transcripts(spark: SparkSession, in_dir: str) -> DataFrame:
@@ -48,34 +67,47 @@ def stream_transcripts(spark: SparkSession, in_dir: str) -> DataFrame:
 
 
 def _next_doc_int(cat: IndexCatalog) -> int:
+    """0 for a fresh catalog (doc_meta does not exist yet); any OTHER
+    failure re-raises — silently re-basing at 0 on a transient read error
+    would mint duplicate doc_ints and corrupt the doc-ordered segment
+    invariant the WAND path depends on."""
     try:
         row = cat.doc_meta().agg(F.max("doc_int").alias("m")).collect()[0]
-        return int(row.m) + 1 if row.m is not None else 0
-    except Exception:
+    except AnalysisException:
         return 0
+    return int(row.m) + 1 if row.m is not None else 0
 
 
 def append_segment(cat: IndexCatalog, batch: DataFrame, n_buckets: int = 32) -> int:
     """Append one micro-batch of transcripts as a new segment.
     Returns the number of turns appended."""
-    spark = cat.spark
     base = _next_doc_int(cat)
     t = with_doc_identity(batch)
     dlen = t.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "url",
         F.size(tokens_col("text")).alias("doc_length"),
     )
-    w = Window.orderBy("doc_id")  # batch-local; micro-batches are bounded
-    meta = dlen.withColumn(
-        "doc_int", (F.lit(base) + F.row_number().over(w) - 1).cast("long")
-    )
+    # same distributed ordinal as the batch build stage 1 — no
+    # single-partition Window even for a large backfill batch
+    meta, n, pinned = dense_ordinal(dlen, "doc_id", "doc_int", base=base)
     meta.write.mode("append").parquet(cat.path("doc_meta"))
+    pinned.unpersist()
+    if n == 0:
+        return 0
 
     toks = t.select("doc_id", F.explode(tokens_col("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
     post = (
-        tf.join(cat.doc_meta().filter(F.col("doc_int") >= base).select("doc_id", "doc_int", "doc_length"), "doc_id")
-        .select("term", "doc_int", "tf", "doc_length", term_bucket("term", n_buckets).alias("bucket"))
+        tf.join(
+            cat.doc_meta()
+            .filter(F.col("doc_int") >= base)
+            .select("doc_id", "doc_int", "doc_length"),
+            "doc_id",
+        )
+        .select(
+            "term", "doc_int", "tf", "doc_length",
+            term_bucket("term", n_buckets).alias("bucket"),
+        )
     )
     post.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
 
@@ -86,47 +118,51 @@ def append_segment(cat: IndexCatalog, batch: DataFrame, n_buckets: int = 32) -> 
     # write via temp + swap semantics: parquet overwrite is atomic enough
     # for a 1-row table under the single-writer ingest model
     stats.write.mode("overwrite").parquet(cat.path("corpus_stats"))
-    n = batch.count()
     m = cat.read_manifest()
     m.setdefault("segments", []).append({"base_doc_int": base, "turns": n})
     cat.write_manifest(m)
     return n
 
 
-def reencode_blocks(cat: IndexCatalog, block_size: int | None = None) -> None:
-    """Re-run the blocks + terms stages from the postings table with the
-    CURRENT corpus stats (factors depend on avg_doc_length)."""
-    from ..index import codec
-    from ..plans.index_build import BLOCK_SCHEMA, _make_encode_partition_fn
+def _encode_postings(
+    cat: IndexCatalog,
+    post: DataFrame,
+    avgdl: float,
+    block_size: int,
+    range_rows: int,
+    n_buckets: int,
+    block_id_base: int = 0,
+) -> DataFrame:
+    """(term, range_id)-grouped block encode of a postings relation under a
+    FIXED normalizer — the shared kernel of compaction and delta append."""
     from .. import B, K1
+    from ..plans.index_build import BLOCK_SCHEMA, _make_encode_partition_fn
 
-    cfg = cat.read_manifest().get("config", {})
-    n_buckets = int(cfg.get("n_buckets") or 32)
-    block_size = block_size or int(cfg.get("block_size") or codec.DEFAULT_BLOCK_SIZE)
-    range_rows = int(cfg.get("range_rows") or 1 << 20)
-
-    _, avgdl = cat.scalar_stats()
-    post = cat.postings()
     tfd = F.col("tf").cast("double")
     dl = F.col("doc_length").cast("double")
     factor = (tfd * F.lit(K1 + 1.0)) / (
         tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.lit(avgdl)))
     )
     blocks_per_range = range_rows // block_size + 1
-    enc = _make_encode_partition_fn(block_size, blocks_per_range)
+    enc = _make_encode_partition_fn(block_size, blocks_per_range, block_id_base)
     ranged = post.withColumn("factor", factor).withColumn(
         "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
     )
     npart = max(cat.spark.sparkContext.defaultParallelism * 2, 8)
-    blocks = (
+    return (
         ranged.select("term", "range_id", "doc_int", "tf", "factor")
         .repartition(npart, "term", "range_id")
         .sortWithinPartitions("term", "range_id", "doc_int")
         .mapInPandas(enc, schema=BLOCK_SCHEMA)
         .withColumn("bucket", term_bucket("term", n_buckets))
     )
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(cat.path("blocks"))
 
+
+def _refresh_terms(cat: IndexCatalog, n_buckets: int) -> None:
+    """Rebuild per-term stats from block METADATA (df = sum of block
+    posting counts, factor bounds = extrema over blocks) — column pruning
+    keeps the encoded binary columns out of the scan, so this is a
+    metadata aggregation, not a decode."""
     stats = cat.corpus_stats()
     terms = (
         cat.blocks()
@@ -151,21 +187,93 @@ def reencode_blocks(cat: IndexCatalog, block_size: int | None = None) -> None:
     terms.write.mode("overwrite").parquet(cat.path("terms"))
 
 
+def _config(cat: IndexCatalog) -> tuple[int, int, int]:
+    from ..index import codec
+
+    cfg = cat.read_manifest().get("config", {})
+    n_buckets = int(cfg.get("n_buckets") or 32)
+    block_size = int(cfg.get("block_size") or codec.DEFAULT_BLOCK_SIZE)
+    range_rows = int(cfg.get("range_rows") or 1 << 20)
+    return n_buckets, block_size, range_rows
+
+
+def compact(cat: IndexCatalog) -> None:
+    """Full re-encode of every block under the CURRENT avg_doc_length —
+    restores exact-BM25 parity with a from-scratch build. O(corpus);
+    runs only when drift exceeds epsilon (or on the first ingest)."""
+    n_buckets, block_size, range_rows = _config(cat)
+    _, avgdl = cat.scalar_stats()
+    blocks = _encode_postings(
+        cat, cat.postings(), avgdl, block_size, range_rows, n_buckets
+    ).repartition(n_buckets, "bucket")
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(cat.path("blocks"))
+    _refresh_terms(cat, n_buckets)
+    m = cat.read_manifest()
+    m["encode_avgdl"] = avgdl
+    m["delta_gens"] = 0
+    m.setdefault("encodes", []).append({"type": "full", "avgdl": avgdl})
+    cat.write_manifest(m)
+
+
+def append_delta_blocks(cat: IndexCatalog, min_doc_int: int) -> None:
+    """Encode ONLY postings with doc_int >= min_doc_int (the segments
+    appended this run) under the FROZEN normalizer and append them.
+    The doc_int predicate pushes down to the postings scan, and because
+    segment files hold disjoint doc_int ranges, parquet row-group stats
+    prune every pre-existing file — the encode cost is O(delta)."""
+    n_buckets, block_size, range_rows = _config(cat)
+    m = cat.read_manifest()
+    avgdl = float(m["encode_avgdl"])
+    gen = int(m.get("delta_gens", 0)) + 1
+    post = cat.postings().filter(F.col("doc_int") >= min_doc_int)
+    blocks = _encode_postings(
+        cat, post, avgdl, block_size, range_rows, n_buckets,
+        block_id_base=gen * GEN_STRIDE,
+    )
+    blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("blocks"))
+    _refresh_terms(cat, n_buckets)
+    m = cat.read_manifest()
+    m["delta_gens"] = gen
+    m.setdefault("encodes", []).append(
+        {"type": "delta", "avgdl": avgdl, "min_doc_int": min_doc_int}
+    )
+    cat.write_manifest(m)
+
+
+def refresh_blocks(cat: IndexCatalog, min_doc_int: int, epsilon: float) -> str:
+    """Epsilon-gated encode step after an ingest run: delta-append while
+    the frozen normalizer is within ``epsilon`` relative drift of the
+    true avg_doc_length, full compaction otherwise. Returns the action
+    taken ("delta" or "full")."""
+    m = cat.read_manifest()
+    frozen = m.get("encode_avgdl")
+    _, avgdl = cat.scalar_stats()
+    if frozen is not None and abs(avgdl - float(frozen)) <= epsilon * float(frozen):
+        append_delta_blocks(cat, min_doc_int)
+        return "delta"
+    compact(cat)
+    return "full"
+
+
 def run_incremental_build(
     spark: SparkSession,
     in_dir: str,
     index_dir: str,
     checkpoint_dir: str,
     n_buckets: int = 32,
+    avgdl_epsilon: float = DEFAULT_AVGDL_EPSILON,
 ) -> IndexCatalog:
     """Ingest all currently-available transcript files (AvailableNow),
-    appending segments per micro-batch, then re-encode blocks once at the
-    end of the run. Re-running after new files appear ingests only the
-    delta (checkpointed file source)."""
+    appending segments per micro-batch, then refresh blocks once at the
+    end of the run (delta-append under the frozen normalizer, or full
+    compaction when avg_doc_length drifted past ``avgdl_epsilon``).
+    Re-running after new files appear ingests only the delta
+    (checkpointed file source)."""
     cat = IndexCatalog(spark, index_dir)
     m = cat.read_manifest()
     m.setdefault("config", {}).setdefault("n_buckets", n_buckets)
     cat.write_manifest(m)
+    run_base = _next_doc_int(cat)
     appended = {"n": 0}
 
     def handle(batch: DataFrame, batch_id: int) -> None:
@@ -180,5 +288,5 @@ def run_incremental_build(
     )
     q.awaitTermination()
     if appended["n"]:
-        reencode_blocks(cat)
+        refresh_blocks(cat, run_base, avgdl_epsilon)
     return cat

@@ -98,3 +98,88 @@ def test_incremental_build_and_parity(spark, tmp_path):
     assert cat.scalar_stats()[0] == 5
     segs = cat.read_manifest()["segments"]
     assert sum(s["turns"] for s in segs) == 5
+
+
+def _block_files(idx: str) -> dict[str, int]:
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(os.path.join(idx, "blocks")):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, idx)] = os.path.getsize(p)
+    return out
+
+
+def test_epsilon_gated_delta_append_and_compaction(spark, tmp_path):
+    """VERDICT r1 #3: (a) an append run with avgdl drift < epsilon touches
+    only the new segment's blocks (frozen-normalizer delta encode, old
+    block files byte-identical on disk); (b) a post-compaction index is
+    score-identical to a from-scratch exact ranking."""
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    eps = 0.5
+
+    _write_batch(spark, in_dir, BATCH1)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4, avgdl_epsilon=eps)
+    m = cat.read_manifest()
+    assert m["encodes"][-1]["type"] == "full"  # first run always compacts
+    frozen = m["encode_avgdl"]
+    files1 = _block_files(idx)
+    assert files1
+
+    # drift (4.0 -> 4.6, ~15%) stays under eps=0.5 -> delta append
+    _write_batch(spark, in_dir, BATCH2)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4, avgdl_epsilon=eps)
+    m = cat.read_manifest()
+    assert m["encodes"][-1]["type"] == "delta"
+    assert m["encode_avgdl"] == frozen  # normalizer stayed frozen
+    files2 = _block_files(idx)
+    for name, size in files1.items():  # old segment blocks untouched
+        assert files2.get(name) == size
+    assert len(files2) > len(files1)  # new segment blocks appended
+
+    # between compactions the index is EXACT under the frozen normalizer:
+    # scores == exact scorer run with (true doc_count, frozen avg_doc_length)
+    docs = spark.createDataFrame(
+        [(f"{c}:{t}", text) for (c, t, text) in BATCH1 + BATCH2],
+        "doc_id string, text string",
+    )
+    dtf = scorer.doc_term_frequencies(docs)
+    dlen = scorer.doc_lengths(docs)
+    n_docs = docs.count()
+    stats = spark.createDataFrame(
+        [(n_docs, float(frozen))], "doc_count long, avg_doc_length double"
+    )
+    expected = {
+        (r.doc_id, r.rank): r.bm25
+        for r in scorer.topk(
+            scorer.score_candidates(dtf, dlen, stats, _queries(spark)), 10
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.rank): r.bm25
+        for r in wand.wand_topk(cat, _queries(spark), k=10).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k_, v in expected.items():
+        assert got[k_] == pytest.approx(v, abs=1e-12)
+
+    # big drift (one very long doc) -> compaction -> parity with a
+    # from-scratch exact ranking under the TRUE normalizer
+    batch3 = [("c3", 0, " ".join(["verylongdoc"] * 40 + ["hash", "table", "spark"]))]
+    _write_batch(spark, in_dir, batch3)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4, avgdl_epsilon=eps)
+    m = cat.read_manifest()
+    assert m["encodes"][-1]["type"] == "full"
+    assert m["encode_avgdl"] != frozen
+    full = _exact_from_raw(spark, BATCH1 + BATCH2 + batch3)
+    got3 = {
+        (r.doc_id, r.rank): r.bm25
+        for r in wand.wand_topk(cat, _queries(spark), k=10).collect()
+    }
+    assert got3.keys() == full.keys()
+    for k_, v in full.items():
+        assert got3[k_] == pytest.approx(v, abs=1e-12)
