@@ -76,8 +76,47 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    # co-partitioning: pin nodes on ``node`` and the degree-annotated edge
+    # list on ``src`` ONCE, with the same explicit partition count. Each
+    # iteration's ranks then inherit hashpartitioning(node, npart) from the
+    # previous step's join, so the ranks ⋈ edges join and the nodes ⋈
+    # contribs join are both exchange-free — the only per-iteration shuffle
+    # is the groupBy(dst) contribution aggregation. AQE is suspended for
+    # the loop (restored after): its runtime coalescing re-plans every
+    # query's partition count independently, which silently re-introduces
+    # an exchange per join; a fixed-topology iterative loop is the one
+    # place static planning beats adaptive. (Skew backstop lost thereby is
+    # bounded here: conversation-local edges cap in-degree by conv length.)
+    spark = nodes.sparkSession
+    npart = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+        or spark.sparkContext.defaultParallelism
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(
+            spark, nodes, edges, n, npart, damping, iterations,
+            redistribute_dangling, checkpoint_every,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _pagerank_loop(
+    spark,
+    nodes: DataFrame,
+    edges: DataFrame,
+    n: int,
+    npart: int,
+    damping: float,
+    iterations: int,
+    redistribute_dangling: bool,
+    checkpoint_every: int,
+) -> DataFrame:
+    nodes = nodes.repartition(npart, "node").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    edeg = edges.join(deg, "src").persist()
+    edeg = edges.join(deg, "src").repartition(npart, "src").persist()
     edeg.count()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -109,8 +148,11 @@ def pagerank(
         ranks = new
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select("node", F.col("rank").alias("pagerank"))
+    out = ranks.select("node", F.col("rank").alias("pagerank")).localCheckpoint(
+        eager=True
+    )
     edeg.unpersist()
+    nodes.unpersist()
     return out
 
 

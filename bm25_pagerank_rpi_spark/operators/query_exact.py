@@ -58,4 +58,8 @@ def rank_from_index(
             "num_slashes_in_url",
             (F.length("url") - F.length(F.replace(F.col("url"), F.lit("/"), F.lit("")))).cast("int"),
         ).withColumn("length_of_url", F.octet_length("url"))
+    # k rows per query — materialize eagerly so the pruned-postings cache is
+    # released per call instead of accumulating across a serving session
+    out = out.localCheckpoint(eager=True)
+    post.unpersist()
     return out

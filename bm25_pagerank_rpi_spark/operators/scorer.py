@@ -272,4 +272,10 @@ def rank_documents(
     dlen = doc_lengths(docs).persist()
     stats = corpus_stats(dlen)
     scored = score_candidates(dtf, dlen, stats, queries)
-    return topk(scored, k)
+    # the result is k rows per query — materialize it eagerly (lineage cut)
+    # so the intermediate caches can be released NOW instead of leaking one
+    # entry per call in a long-lived session
+    out = topk(scored, k).localCheckpoint(eager=True)
+    dtf.unpersist()
+    dlen.unpersist()
+    return out

@@ -141,10 +141,15 @@ def brute_force_topk_gemm(
                 take = min(k, sm.size)
                 if take == 0:
                     continue
-                part = np.argpartition(-sm, take - 1)[:take]
+                # per-batch truncation must use the SAME ordering as the
+                # final global window — (rounded cos desc, vec_id asc) —
+                # or a rounded tie at the k boundary could drop the
+                # smaller vec_id the global tie-break prefers
+                sr = np.round(sm, 6)
+                part = np.lexsort((im, -sr))[:take]
                 out.append(
                     pd.DataFrame(
-                        {"query_id": qid, "vec_id": im[part], "cos": np.round(sm[part], 6)}
+                        {"query_id": qid, "vec_id": im[part], "cos": sr[part]}
                     )
                 )
             yield pd.concat(out) if out else pd.DataFrame(

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import MAX_DOCUMENTS
@@ -153,15 +153,35 @@ def wand_topk(
     by one window). A query over 10^12 turns therefore fans out across
     executors instead of funneling every posting block into one task;
     per-shard pruning keeps its block-skip power because thresholds only
-    strengthen as candidates accumulate within the shard."""
-    spark = cat.spark
+    strengthen as candidates accumulate within the shard.
+
+    One-shot entry point: reads terms/blocks/meta from the catalog per
+    call. A serving process answering many queries should hold a
+    :class:`WandSession` instead (terms/meta/blocks cached across calls)."""
+    return _wand_topk_impl(
+        cat.spark,
+        queries,
+        cat.terms().select("term", "idf", "bucket"),
+        cat.blocks(),
+        cat.doc_meta().select("doc_int", "doc_id"),
+        k,
+    )
+
+
+def _wand_topk_impl(
+    spark: SparkSession,
+    queries: DataFrame,
+    tstats: DataFrame,
+    all_blocks: DataFrame,
+    meta: DataFrame,
+    k: int,
+) -> DataFrame:
     # query terms with multiplicity -> weight = mult * idf (duplicate query
     # terms contribute once per occurrence, features_test.go:498-513)
     qocc = scorer.query_term_occurrences(queries)
     mult = qocc.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("mult"))
-    tstats = cat.terms()  # (term, df, idf, max_factor, min_factor, bucket)
     qt = (
-        mult.join(tstats.select("term", "idf", "bucket"), "term")
+        mult.join(tstats, "term")
         .select(
             "query_id", "term", "bucket",
             (F.col("mult").cast("double") * F.col("idf")).alias("weight"),
@@ -169,7 +189,7 @@ def wand_topk(
     )
     qt_rows = qt.collect()  # |queries| x |unique terms| — tiny
     if not qt_rows:
-        return _empty_result(cat)
+        return _empty_result(spark)
     buckets = sorted({r.bucket for r in qt_rows})
     terms = sorted({r.term for r in qt_rows})
     qt_df = spark.createDataFrame(
@@ -180,7 +200,7 @@ def wand_topk(
     # it, across batch-built and incrementally-appended segments), so the
     # shard mapping is independent of block_id arithmetic
     blocks = (
-        cat.blocks()
+        all_blocks
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms))      # row-group pruning
         .join(F.broadcast(qt_df), "term")
@@ -192,13 +212,72 @@ def wand_topk(
     ranked = result.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
-    meta = cat.doc_meta().select("doc_int", "doc_id")
     return ranked.join(meta, "doc_int").select(
         "query_id", "doc_id", "doc_int", "bm25", "rank"
     )
 
 
-def _empty_result(cat: IndexCatalog) -> DataFrame:
-    return cat.spark.createDataFrame(
+class WandSession:
+    """Warm serving mode: the per-request state the reference API keeps in
+    process memory (/root/reference/cmd/api/main.go:27,86-126 loads ranking
+    data once at startup and serves per-request HTTP) becomes cached
+    DataFrames reused across ``topk`` calls.
+
+    What is cached and why:
+    - ``terms`` (vocab-sized, columns term/idf/bucket): every query joins
+      + collects against it; cached in executor memory it is an in-memory
+      scan instead of a parquet read per request.
+    - ``doc_meta`` projection (doc_int, doc_id): joined after top-k.
+    - ``blocks``: optionally preloaded (MEMORY_AND_DISK — an index larger
+      than cluster memory spills instead of failing). Per-query bucket +
+      term filters still prune on the cached partitions.
+
+    ``close()`` unpersists everything; the session is also a context
+    manager."""
+
+    def __init__(self, cat: IndexCatalog, preload_blocks: bool = True):
+        self.cat = cat
+        self.terms = cat.terms().select("term", "idf", "bucket").persist()
+        self.meta = cat.doc_meta().select("doc_int", "doc_id").persist()
+        self._preloaded = preload_blocks
+        if preload_blocks:
+            from pyspark import StorageLevel
+
+            self.blocks = cat.blocks().persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            self.blocks = cat.blocks()
+        # materialize the caches now (warmup), not inside the first request
+        self.terms.count()
+        self.meta.count()
+        if preload_blocks:
+            self.blocks.count()
+
+    def topk(self, queries: DataFrame, k: int = MAX_DOCUMENTS) -> DataFrame:
+        """Same contract as :func:`wand_topk`, over the cached state."""
+        return _wand_topk_impl(
+            self.cat.spark, queries, self.terms, self.blocks, self.meta, k
+        )
+
+    def topk_text(self, query_id: str, text: str, k: int = MAX_DOCUMENTS) -> DataFrame:
+        q = self.cat.spark.createDataFrame(
+            [(query_id, text)], "query_id string, text string"
+        )
+        return self.topk(q, k)
+
+    def close(self) -> None:
+        self.terms.unpersist()
+        self.meta.unpersist()
+        if self._preloaded:
+            self.blocks.unpersist()
+
+    def __enter__(self) -> "WandSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _empty_result(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [], "query_id string, doc_id string, doc_int long, bm25 double, rank int"
     )

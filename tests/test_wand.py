@@ -101,3 +101,22 @@ def test_wand_randomized(spark, tmp_path, seed):
     exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
     pruned = wand.wand_topk(cat, q_df, k=7).collect()
     _compare(exact, pruned, 7)
+
+
+def test_wand_session_parity_and_reuse(spark, corpus, tmp_path):
+    """Warm serving mode (VERDICT r1 #5): a WandSession answers repeated
+    queries from cached terms/meta/blocks with results identical to the
+    one-shot path, and empty/absent queries still behave."""
+    cat = _build(spark, corpus, tmp_path / "idx")
+    toks = sorted({t for text in corpus.values() for t in text.split()})
+    q_df = spark.createDataFrame(
+        [("q1", f"{toks[0]} {toks[3]} {toks[7]}")], "query_id string, text string"
+    )
+    cold = wand.wand_topk(cat, q_df, k=5).collect()
+    with wand.WandSession(cat) as sess:
+        for _ in range(2):  # repeated calls reuse the cached state
+            warm = sess.topk(q_df, k=5).collect()
+            _compare(cold, warm, 5)
+        one = sess.topk_text("qx", f"{toks[0]} {toks[3]} {toks[7]}", k=5).collect()
+        assert [r.doc_id for r in one] == [r.doc_id for r in cold]
+        assert sess.topk_text("qe", "zzz_absent_only", k=5).count() == 0
