@@ -190,6 +190,45 @@ def train_pairwise_lr(
         StandardScaler(inputCol="_fv", outputCol="_sv", withMean=True, withStd=True),
         LogisticRegression(featuresCol="_sv", labelCol="_y", regParam=reg_param, maxIter=100),
     ]
+    return _fit_pipeline(stages, data, cv_grid)
+
+
+def train_pairwise_mlp(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    hidden: list[int] | None = None,
+    max_iter: int = 100,
+    seed: int = 42,
+):
+    """M4 stand-in: the reference trains a Torch residual MLP on the
+    pairwise examples (training/nn_model.py:4-39, train.py:10-84; 2-class
+    softmax head, published 81.92% test accuracy, test.py:69-84). Torch is
+    not in this environment and a residual/dropout architecture is not
+    expressible in MLlib, so the Spark twin is MLlib's
+    ``MultilayerPerceptronClassifier`` — a plain feed-forward net with a
+    softmax head on the same scaled pairwise-difference features, trained
+    distributed (L-BFGS over partition-parallel gradient aggregation)
+    instead of on one GPU. Same role in the system: advisory re-scorer;
+    serving still ranks on raw BM25 (ranker.go:44-56)."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    data = train.withColumn("_y", ((F.col(label_col) + 1) / 2).cast("double"))
+    layers = [len(feature_cols), *(hidden or [16, 8]), 2]
+    stages = [
+        VectorAssembler(inputCols=feature_cols, outputCol="_fv"),
+        StandardScaler(inputCol="_fv", outputCol="_sv", withMean=True, withStd=True),
+        MultilayerPerceptronClassifier(
+            featuresCol="_sv", labelCol="_y", layers=layers,
+            maxIter=max_iter, seed=seed,
+        ),
+    ]
+    return _fit_pipeline(stages, data, cv_grid=None)
+
+
+def _fit_pipeline(stages, data, cv_grid):
+    from pyspark.ml import Pipeline
     pipe = Pipeline(stages=stages)
     if cv_grid:
         from pyspark.ml.evaluation import BinaryClassificationEvaluator

@@ -73,29 +73,60 @@ def train(
     cv_grid: list[float] | None = None,
     fmt: str = "parquet",
     model_dir: str | None = None,
+    model: str = "lr",
+    test_frac: float = 0.0,
+    seed: int = 42,
 ) -> dict:
-    """E3: examples -> trained LR (+optional CV) -> confusion + accuracy.
+    """E3: examples -> trained model -> confusion + accuracy.
+
+    ``model``: "lr" = M1 logistic regression (+optional M3 CV over
+    ``cv_grid``); "mlp" = the M4 neural stand-in
+    (:func:`..operators.ltr.train_pairwise_mlp` — the reference's Torch
+    residual MLP role, training/train.py:10-84, re-expressed as MLlib's
+    feed-forward softmax classifier).
+
+    ``test_frac`` > 0 holds out a seeded random split and reports
+    ``test_accuracy`` separately (the reference reports held-out test
+    accuracy, test.py:69-84 — 81.92% for the published model).
 
     ``model_dir`` persists the fitted pipeline via MLlib's native
     writer (S11 — the reference saves best_model.pth / scaler.joblib,
     training/train.py:75,114-115; MLlib bundles scaler+model in one
     artifact reloadable with PipelineModel.load).
 
-    Returns {model, confusion: {(label, prediction): n}, accuracy}."""
+    Returns {model, confusion: {(label, prediction): n}, accuracy
+    [, test_accuracy]}; confusion/accuracy are over the training split."""
     if fmt == "csv":
         df = spark.read.option("header", True).option("inferSchema", True).csv(examples_path)
     else:
         df = spark.read.parquet(examples_path)
     fcols = [c for c in df.columns if c != "label"]
-    model = ltr.train_pairwise_lr(df, fcols, cv_grid=cv_grid)
+    if test_frac > 0:
+        train_df, test_df = df.randomSplit([1.0 - test_frac, test_frac], seed=seed)
+    else:
+        train_df, test_df = df, None
+    if model == "mlp":
+        fitted = ltr.train_pairwise_mlp(train_df, fcols, seed=seed)
+    else:
+        fitted = ltr.train_pairwise_lr(train_df, fcols, cv_grid=cv_grid)
     if model_dir:
-        model.write().overwrite().save(model_dir)
-    scored = model.transform(
-        df.withColumn("_y", ((F.col("label") + 1) / 2).cast("double"))
-    ).withColumn(
-        "pred_label", (F.col("prediction") * 2 - 1).cast("int")
-    )
+        fitted.write().overwrite().save(model_dir)
+
+    def _score(part: DataFrame) -> DataFrame:
+        return fitted.transform(
+            part.withColumn("_y", ((F.col("label") + 1) / 2).cast("double"))
+        ).withColumn("pred_label", (F.col("prediction") * 2 - 1).cast("int"))
+
+    scored = _score(train_df)
     cm_df = ltr.confusion_matrix(scored, label_col="label", pred_col="pred_label")
     confusion = {(r.label, r.pred_label): r.n for r in cm_df.collect()}
-    acc = ltr.accuracy(scored, label_col="label", pred_col="pred_label")
-    return {"model": model, "confusion": confusion, "accuracy": acc}
+    out = {
+        "model": fitted,
+        "confusion": confusion,
+        "accuracy": ltr.accuracy(scored, label_col="label", pred_col="pred_label"),
+    }
+    if test_df is not None:
+        out["test_accuracy"] = ltr.accuracy(
+            _score(test_df), label_col="label", pred_col="pred_label"
+        )
+    return out
