@@ -259,9 +259,10 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.transcripts import synthesize_transcripts
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # v2: blocks carry an explicit range_id column; bump on layout changes
-    # so a cached index from an older code version is never reused
-    idx_dir = f"/tmp/driver_wand_index_v2_{tag}"
+    # v3: adaptive tail salt (corpus-global blocks for low-df terms); bump
+    # on layout changes so a cached index from an older code version is
+    # never reused
+    idx_dir = f"/tmp/driver_wand_index_v3_{tag}"
     t = synthesize_transcripts(spark, sf_dir, replicas=1)
     cat = build_index(spark, t, idx_dir, n_buckets=8)
     out = wand_mod.wand_topk(cat, _queries_df(spark), k=1000)

@@ -46,12 +46,22 @@ from . import scorer
 WAND_SCHEMA = "query_id string, doc_int long, bm25 double"
 
 
-def _score_one_query(pdf: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _score_one_query(
+    pdf: pd.DataFrame, k: int, slack_pos: float = 0.0, slack_neg: float = 0.0
+) -> tuple[np.ndarray, np.ndarray]:
     """Run impact-ordered pruned scoring for one query's block set.
 
     pdf columns: term, weight, block rows (count, min_doc, max_doc,
     max_factor, min_factor, docs_enc, tfs_enc, factors_enc, block_id).
     Returns (top_doc_ints, top_scores) sorted by (score desc, doc_int asc).
+
+    ``slack_pos``/``slack_neg`` bound the query's contributions living
+    OUTSIDE this shard (the corpus-global tail-term blocks, scored in a
+    dedicated shard and summed afterwards): pruning thresholds shift by
+    the slack so a doc is only dropped when even its maximum possible
+    tail contribution cannot lift it into the global top-k, and the
+    emitted candidate set widens from top-k to every doc whose
+    score+slack_pos reaches the k-th guaranteed total.
     """
     terms = []
     for term, g in pdf.groupby("term", sort=False):
@@ -97,9 +107,10 @@ def _score_one_query(pdf: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]
                 acc = np.zeros(uniq.size)
                 np.add.at(acc, inv, merged_scores)
                 cand_docs, cand_scores = uniq, acc
-            # can we stop admitting new docs?
-            if cand_docs.size >= k and suffix_pos[i + 1] < _kth_guarantee(
-                cand_scores, suffix_neg[i + 1], k
+            # can we stop admitting new docs? (an unseen doc's potential
+            # includes the out-of-shard tail slack)
+            if cand_docs.size >= k and suffix_pos[i + 1] + slack_pos < _kth_guarantee(
+                cand_scores, suffix_neg[i + 1] + slack_neg, k
             ):
                 or_mode = False
         else:
@@ -114,8 +125,40 @@ def _score_one_query(pdf: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]
                 hit = cand_docs[idx_clipped] == d
                 np.add.at(cand_scores, idx_clipped[hit], (w * f)[hit])
 
-    order = np.lexsort((cand_docs, -cand_scores))[:k]
-    return cand_docs[order], cand_scores[order]
+    if slack_pos == 0.0 and slack_neg == 0.0:
+        order = np.lexsort((cand_docs, -cand_scores))[:k]
+        return cand_docs[order], cand_scores[order]
+    if cand_docs.size == 0:
+        return cand_docs, cand_scores
+    # emit every doc whose max total (score + slack_pos) reaches the k-th
+    # guaranteed total (score + slack_neg) — a superset of the shard top-k
+    g = cand_scores + slack_neg
+    kth_g = float(g.min()) if g.size <= k else float(np.partition(g, -k)[-k])
+    keep = (cand_scores + slack_pos) >= kth_g
+    d, s = cand_docs[keep], cand_scores[keep]
+    order = np.lexsort((d, -s))
+    return d[order], s[order]
+
+
+def _accumulate_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Exact unpruned accumulation of a block set — used for the
+    corpus-global tail shard, whose total posting volume is bounded by
+    (#tail query terms x tail_df_threshold)."""
+    parts_d, parts_s = [], []
+    for _term, g in pdf.groupby("term", sort=False):
+        w = float(g["weight"].iloc[0])
+        for r in g.sort_values("block_id").itertuples():
+            d, _tf, f = codec.decode_block(r)
+            parts_d.append(d)
+            parts_s.append(w * f)
+    if not parts_d:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    d_all = np.concatenate(parts_d)
+    s_all = np.concatenate(parts_s)
+    uniq, inv = np.unique(d_all, return_inverse=True)
+    acc = np.zeros(uniq.size)
+    np.add.at(acc, inv, s_all)
+    return uniq, acc
 
 
 def _kth_guarantee(scores: np.ndarray, tail_neg: float, k: int) -> float:
@@ -126,10 +169,14 @@ def _kth_guarantee(scores: np.ndarray, tail_neg: float, k: int) -> float:
     return float(np.partition(guaranteed, -k)[-k])
 
 
-def _make_wand_fn(k: int):
+def _make_wand_fn(k: int, slack: dict[str, tuple[float, float]]):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = key[0]  # key = (query_id, range_id)
-        docs, scores = _score_one_query(pdf, k)
+        query_id, range_id = key  # key = (query_id, range_id)
+        if int(range_id) == -1:
+            docs, scores = _accumulate_all(pdf)
+        else:
+            sp, sn = slack.get(query_id, (0.0, 0.0))
+            docs, scores = _score_one_query(pdf, k, sp, sn)
         return pd.DataFrame(
             {"query_id": query_id, "doc_int": docs, "bm25": scores}
         )
@@ -161,10 +208,23 @@ def wand_topk(
     return _wand_topk_impl(
         cat.spark,
         queries,
-        cat.terms().select("term", "idf", "bucket"),
+        _term_stats(cat),
         cat.blocks(),
         cat.doc_meta().select("doc_int", "doc_id"),
         k,
+    )
+
+
+def _term_stats(cat: IndexCatalog) -> DataFrame:
+    """Per-term stats projection for query planning; tolerates indexes
+    written before the adaptive tail salt (no has_tail column)."""
+    t = cat.terms()
+    has_tail = (
+        F.col("has_tail") if "has_tail" in t.columns else F.lit(0)
+    )
+    return t.select(
+        "term", "idf", "bucket", "max_factor", "min_factor",
+        has_tail.cast("int").alias("has_tail"),
     )
 
 
@@ -185,6 +245,7 @@ def _wand_topk_impl(
         .select(
             "query_id", "term", "bucket",
             (F.col("mult").cast("double") * F.col("idf")).alias("weight"),
+            "max_factor", "min_factor", "has_tail",
         )
     )
     qt_rows = qt.collect()  # |queries| x |unique terms| — tiny
@@ -196,6 +257,18 @@ def _wand_topk_impl(
         [(r.query_id, r.term, r.weight) for r in qt_rows],
         "query_id string, term string, weight double",
     )
+    # tail slack per query: bounds on the contribution a doc can collect
+    # from the corpus-global (-1) shard — what keeps ranged-shard pruning
+    # rank-safe when a query mixes head and tail terms. Using the term's
+    # GLOBAL factor bounds slightly overestimates the tail part for terms
+    # that also have ranged blocks (delta segments), which is conservative.
+    slack: dict[str, tuple[float, float]] = {}
+    for r in qt_rows:
+        if r.has_tail:
+            ub = max(r.weight * r.max_factor, r.weight * r.min_factor, 0.0)
+            lb = min(r.weight * r.max_factor, r.weight * r.min_factor, 0.0)
+            sp, sn = slack.get(r.query_id, (0.0, 0.0))
+            slack[r.query_id] = (sp + ub, sn + lb)
     # range_id is STORED per block (all blocks covering a doc interval share
     # it, across batch-built and incrementally-appended segments), so the
     # shard mapping is independent of block_id arithmetic
@@ -205,8 +278,14 @@ def _wand_topk_impl(
         .filter(F.col("term").isin(terms))      # row-group pruning
         .join(F.broadcast(qt_df), "term")
     )
-    result = blocks.groupBy("query_id", "range_id").applyInPandas(
-        _make_wand_fn(k), WAND_SCHEMA
+    partial = blocks.groupBy("query_id", "range_id").applyInPandas(
+        _make_wand_fn(k, slack), WAND_SCHEMA
+    )
+    # a doc's score may be split between its doc-range shard and the
+    # tail shard; contributions are disjoint by construction, so summing
+    # partials reconstructs the exact BM25 before the top-k merge
+    result = partial.groupBy("query_id", "doc_int").agg(
+        F.sum("bm25").alias("bm25")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_int"))
     ranked = result.withColumn("rank", F.row_number().over(w)).filter(
@@ -237,7 +316,7 @@ class WandSession:
 
     def __init__(self, cat: IndexCatalog, preload_blocks: bool = True):
         self.cat = cat
-        self.terms = cat.terms().select("term", "idf", "bucket").persist()
+        self.terms = _term_stats(cat).persist()
         self.meta = cat.doc_meta().select("doc_int", "doc_id").persist()
         self._preloaded = preload_blocks
         if preload_blocks:

@@ -165,6 +165,7 @@ def build_index(
     range_rows: int | None = None,
     resume: bool = True,
     with_positions: bool = False,
+    tail_df_threshold: int | None = None,
 ) -> IndexCatalog:
     """Run (or resume) the full build. Returns the catalog over ``out_dir``.
 
@@ -176,8 +177,15 @@ def build_index(
     a resumed build produces byte-identical block layout. Trade-off
     documented in §4: with a zipf vocabulary, global doc-ranges fragment
     the long tail (a df=10 term may split into 10 single-posting blocks);
-    a production variant salts by per-term posting ordinal for tail terms
-    instead."""
+    ``tail_df_threshold`` (default ``block_size``) is the adaptive-salt
+    cutoff: a term with df <= threshold skips doc-range salting entirely
+    and encodes its postings as ONE corpus-global group (range_id = -1) —
+    without this, global doc-ranges fragment the zipf tail into
+    single-posting blocks (a df=10 term split across 10 ranges). Head
+    terms keep the order-preserving range salt. The WAND path scores
+    tail blocks in a dedicated per-query shard and sums partial scores,
+    with tail-aware slack keeping ranged-shard pruning rank-safe
+    (operators/wand.py)."""
     # degenerate-input guard: a source read as a handful of partitions
     # (one small file, a broadcast-built frame) would serialize the
     # tokenize/explode map chains onto those few cores
@@ -190,10 +198,13 @@ def build_index(
     prior = manifest.get("config", {})
     if range_rows is None:
         range_rows = prior.get("range_rows")  # resume keeps the layout
+    if tail_df_threshold is None:
+        tail_df_threshold = prior.get("tail_df_threshold", block_size)
     manifest["config"] = {
         "n_buckets": n_buckets,
         "block_size": block_size,
         "range_rows": range_rows,
+        "tail_df_threshold": tail_df_threshold,
     }
     cat.write_manifest(manifest)
 
@@ -302,8 +313,29 @@ def build_index(
         )
         blocks_per_range = range_rows // block_size + 1
         enc = _make_encode_partition_fn(block_size, blocks_per_range)
-        ranged = post.withColumn("factor", factor).withColumn(
-            "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
+        # adaptive salt: head terms (df > threshold) get doc-range groups;
+        # tail terms collapse to ONE corpus-global group (range_id = -1),
+        # so a df=10 term yields one 10-posting block instead of up to 10
+        # singleton blocks. The head set is broadcast (zipf: it is the
+        # small minority of the vocabulary); at extreme vocab (~10^7 head
+        # terms) this broadcast becomes a bloom filter / runtime filter —
+        # a false positive only leaves one tail term range-fragmented.
+        head = (
+            post.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > tail_df_threshold)
+            .select("term", F.lit(True).alias("_head"))
+        )
+        ranged = (
+            post.withColumn("factor", factor)
+            .join(F.broadcast(head), "term", "left")
+            .withColumn(
+                "range_id",
+                F.when(
+                    F.col("_head").isNotNull(),
+                    (F.col("doc_int") / F.lit(range_rows)).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            )
         )
         npart = max(spark.sparkContext.defaultParallelism * 2, 8)
         blocks = (
@@ -330,6 +362,8 @@ def build_index(
                 F.sum("n_postings").alias("df"),
                 F.max("max_factor").alias("max_factor"),
                 F.min("min_factor").alias("min_factor"),
+                F.count(F.lit(1)).cast("int").alias("n_blocks"),
+                F.max((F.col("range_id") == -1).cast("int")).alias("has_tail"),
             )
             .crossJoin(F.broadcast(stats))
             .select(
@@ -341,6 +375,8 @@ def build_index(
                 ).alias("idf"),
                 "max_factor",
                 "min_factor",
+                "n_blocks",
+                "has_tail",
                 term_bucket("term", n_buckets).alias("bucket"),
             )
         )
@@ -358,6 +394,8 @@ def build_index(
             .agg(
                 F.sum("n_postings").alias("postings"),
                 F.count(F.lit(1)).alias("blocks"),
+                F.sum((F.col("n_postings") == 1).cast("long")).alias("singleton_blocks"),
+                F.sum((F.col("range_id") == -1).cast("long")).alias("tail_blocks"),
                 (
                     F.sum(F.octet_length("docs_enc"))
                     + F.sum(F.octet_length("tfs_enc"))
@@ -370,6 +408,12 @@ def build_index(
         total = int(sum(postings))
         metrics = {
             "buckets": len(per_bucket),
+            "tail_df_threshold": tail_df_threshold,
+            # fragmentation evidence: singleton blocks are the zipf-tail
+            # failure mode the adaptive salt removes
+            "singleton_blocks": int(sum(r.singleton_blocks for r in per_bucket)),
+            "tail_blocks": int(sum(r.tail_blocks for r in per_bucket)),
+            "total_blocks": int(sum(r.blocks for r in per_bucket)),
             "postings": total,
             "bytes_compressed": int(sum(r.bytes for r in per_bucket)),
             "bytes_per_posting": round(

@@ -171,6 +171,8 @@ def _refresh_terms(cat: IndexCatalog, n_buckets: int) -> None:
             F.sum("n_postings").alias("df"),
             F.max("max_factor").alias("max_factor"),
             F.min("min_factor").alias("min_factor"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+            F.max((F.col("range_id") == -1).cast("int")).alias("has_tail"),
         )
         .crossJoin(F.broadcast(stats))
         .select(
@@ -181,6 +183,8 @@ def _refresh_terms(cat: IndexCatalog, n_buckets: int) -> None:
             ).alias("idf"),
             "max_factor",
             "min_factor",
+            "n_blocks",
+            "has_tail",
             term_bucket("term", n_buckets).alias("bucket"),
         )
     )

@@ -195,3 +195,42 @@ def test_build_with_positions(spark, corpus, tmp_path):
             expect.setdefault(t, []).append(i)
         for t, pos in expect.items():
             assert got[(doc_id, t)] == (len(pos), pos), (doc_id, t)
+
+
+def test_adaptive_tail_salt_reduces_fragmentation(spark, tmp_path):
+    """VERDICT r1 #8: a zipf-ish corpus (one hot term + many df<=3 tail
+    terms spread across doc ranges) builds far fewer blocks with the
+    adaptive salt than with pure doc-range grouping, and WAND stays
+    rank-identical to the exact path on mixed head/tail queries."""
+    from bm25_pagerank_rpi_spark.operators import query_exact, wand
+    from tests.test_wand import _compare
+
+    corpus = {}
+    for i in range(120):
+        # "hot" appears everywhere (head); rareterm<i> df=2, far apart
+        corpus[f"conv_{i:04d}:0"] = f"hot filler{i % 7} rare{i % 60}"
+    cat_adaptive = build_index(
+        spark, transcripts_df(spark, corpus), str(tmp_path / "a"),
+        n_buckets=4, block_size=8, range_rows=16,
+    )
+    cat_naive = build_index(
+        spark, transcripts_df(spark, corpus), str(tmp_path / "n"),
+        n_buckets=4, block_size=8, range_rows=16, tail_df_threshold=0,
+    )
+    ma = cat_adaptive.read_manifest()["stages"]["metrics"]["metrics"]
+    mn = cat_naive.read_manifest()["stages"]["metrics"]["metrics"]
+    assert ma["tail_blocks"] > 0
+    assert ma["total_blocks"] < mn["total_blocks"]
+    assert ma["singleton_blocks"] < mn["singleton_blocks"]
+    # every rare term collapses to one block under the adaptive salt
+    tail_terms = cat_adaptive.terms().filter("has_tail = 1")
+    assert tail_terms.filter("n_blocks > 1").count() == 0
+
+    q_df = spark.createDataFrame(
+        [("qm", "hot rare3"), ("qt", "rare7 rare8"), ("qh", "hot")],
+        "query_id string, text string",
+    )
+    for cat in (cat_adaptive, cat_naive):
+        exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
+        pruned = wand.wand_topk(cat, q_df, k=10).collect()
+        _compare(exact, pruned, 10)
