@@ -177,11 +177,16 @@ def main() -> None:
         (r.query_id, r.vec_id)
         for r in similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=10).collect()
     }
-    lsh_nn = {
-        (r.query_id, r.vec_id)
-        for r in similarity.lsh_topk(emb, ANN_QUERY_IDS, k=10).collect()
-    }
-    recall_at_10 = round(len(exact_nn & lsh_nn) / max(len(exact_nn), 1), 4)
+    recall = {}
+    for radius in (0, 1, 2):
+        lsh_nn = {
+            (r.query_id, r.vec_id)
+            for r in similarity.lsh_topk(
+                emb, ANN_QUERY_IDS, k=10, probe_hamming=radius
+            ).collect()
+        }
+        recall[f"r{radius}"] = round(len(exact_nn & lsh_nn) / max(len(exact_nn), 1), 4)
+    recall_at_10 = recall["r1"]  # the default serving radius
 
     total = round(sum(timings.values()), 3)
     print(
@@ -197,6 +202,7 @@ def main() -> None:
                 "build_turns_per_sec": round(build_tps, 1),
                 "replicas": REPLICAS,
                 "ann_lsh_recall_at_10": recall_at_10,
+                "ann_lsh_recall_by_probe_radius": recall,
             }
         )
     )

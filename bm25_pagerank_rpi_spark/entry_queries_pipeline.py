@@ -345,16 +345,22 @@ register("ann_gemm_topk", _ORACLES["ann_cosine_topk"])(
 )
 
 
+_PROBE_MASKS = similarity.probe_masks(similarity.N_PLANES, 1)
+
 @register(
     "ann_lsh_topk",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT query_id, qv, xor(q.bucket, m.mask) AS bucket
+  FROM q, (SELECT unnest([{", ".join(str(m) for m in _PROBE_MASKS)}]) AS mask) m
+),
 scored AS (
-  SELECT q.query_id, b.vec_id AS vec_id,
-         round({_COS.format(a='q.qv', b='b.v')}, 6) AS cos
-  FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id
+  SELECT p.query_id, b.vec_id AS vec_id,
+         round({_COS.format(a='p.qv', b='b.v')}, 6) AS cos
+  FROM probes p JOIN b USING (bucket) WHERE b.vec_id <> p.query_id
 )
 SELECT query_id, vec_id, cos, rank FROM (
   SELECT query_id, vec_id, cos,
@@ -364,6 +370,8 @@ SELECT query_id, vec_id, cos, rank FROM (
 """,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe (Hamming radius 1) LSH ANN — the oracle replicates the
+    probe-bucket expansion with xor over the same mask list."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(emb, ANN_QUERY_IDS, k=ANN_K)
 

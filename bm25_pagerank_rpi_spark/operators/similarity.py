@@ -179,19 +179,37 @@ def with_lsh_bucket(emb: DataFrame, planes: list[list[float]] | None = None) -> 
     )
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All sign-bit flip masks within the probe Hamming radius."""
+    return [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
+    ]
+
+
 def lsh_topk(
     emb: DataFrame, query_vec_ids: list[int], k: int = 10,
     planes: list[list[float]] | None = None,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank) — approximate top-k: candidates are
-    restricted to the query's LSH bucket. Recall < 1 by design; the
-    brute-force path is the exactness oracle."""
+    restricted to buckets within ``probe_hamming`` sign-bit flips of the
+    query's LSH bucket (multi-probe LSH: a near neighbor that disagrees
+    with the query on a few hyperplanes still lands in a probed bucket).
+    Radius 0 scans ~1/2^p of the corpus, radius 1 ~(p+1)/2^p, radius 2
+    ~(1+p+C(p,2))/2^p — the recall/scan-fraction knob, quantified per
+    radius in bench.py against the brute-force exact top-k."""
     b = with_lsh_bucket(emb, planes)
-    q = b.filter(F.col("vec_id").isin(query_vec_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        "bucket",
+    masks = probe_masks(N_PLANES if planes is None else len(planes), probe_hamming)
+    q = (
+        b.filter(F.col("vec_id").isin(query_vec_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     )
     scored = (
         b.join(F.broadcast(q), "bucket")

@@ -64,11 +64,15 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
     emb, vecs = _emb(spark)
     planes = [[round(float(x), 6) for x in row] for row in np.array(similarity.hyperplanes(dim=DIM))]
     out = similarity.lsh_topk(emb, [0], k=5, planes=planes).collect()
-    # every returned neighbor is in the query's bucket and cosine is exact
+    # every returned neighbor sits within the probe radius (Hamming <= 1
+    # sign-bit flips of the query's bucket) and cosine is exact
     buckets = {r.vec_id: r.bucket for r in similarity.with_lsh_bucket(emb, planes).collect()}
     for r in out:
-        assert buckets[r.vec_id] == buckets[0]
+        assert bin(buckets[r.vec_id] ^ buckets[0]).count("1") <= 1
         assert r.cos == pytest.approx(round(_np_cosine(vecs[0], vecs[r.vec_id]), 6), abs=1e-9)
+    # radius 0 restricts to the exact bucket
+    for r in similarity.lsh_topk(emb, [0], k=5, planes=planes, probe_hamming=0).collect():
+        assert buckets[r.vec_id] == buckets[0]
 
 
 def test_cosine_dedup_finds_planted_pair(spark):
