@@ -85,9 +85,20 @@ def main() -> None:
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+
     hw_ratio = hw_parallel_ratio(n)
-    lo = run_level(n, replicas, sf_dir)
-    hi = run_level(4 * n, replicas, sf_dir)
+    # the shared host's effective capacity drifts minute-to-minute
+    # (±50% per stage documented in BENCH/BASELINE.md), so each level
+    # runs `repeats` times INTERLEAVED (lo, hi, lo, hi, ...) and the
+    # minimum — the least-perturbed observation of the same
+    # deterministic job — is what enters the efficiency ratio
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run_level(n, replicas, sf_dir))
+        hi_runs.append(run_level(4 * n, replicas, sf_dir))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     t_lo = lo["turns"] / lo["value"]
     t_hi = hi["turns"] / hi["value"]
     eff = t_hi / (4.0 * t_lo)
@@ -105,6 +116,9 @@ def main() -> None:
         "build_s_hi": hi["value"],
         "hw_parallel_ratio": round(hw_ratio, 2),
         "efficiency_vs_hw_ceiling": round(eff_hw, 3),
+        "repeats": repeats,
+        "build_s_lo_all": [r["value"] for r in lo_runs],
+        "build_s_hi_all": [r["value"] for r in hi_runs],
     }
     print(json.dumps(result))
 
@@ -128,7 +142,12 @@ Hardware ceiling: {4 * n} busy processes deliver only
 turbo-frequency scaling), so {hw_ratio:.2f}x — not 4x — is the maximum
 any perfectly-scaling job can show here.
 
-| level | cores | build s | turns/sec |
+Each level ran {repeats}x interleaved; the minimum (least host-noise
+perturbation of the same deterministic job) enters the ratio. All
+observations: N = {[r['value'] for r in lo_runs]} s,
+4N = {[r['value'] for r in hi_runs]} s.
+
+| level | cores | build s (min of {repeats}) | turns/sec |
 | --- | --- | --- | --- |
 | N | {n} | {lo['value']} | {t_lo:.1f} |
 | 4N | {4 * n} | {hi['value']} | {t_hi:.1f} |
