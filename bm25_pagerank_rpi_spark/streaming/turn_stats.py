@@ -1,0 +1,118 @@
+"""Streaming analytics over the transcript stream: watermarked windowed
+aggregation and a custom stateful per-conversation operator.
+
+The reference has no streaming surface (SURVEY.md §2.7 — request/response
++ offline batch only); these are the Spark-native operators a live
+transcript firehose needs next to the incremental index ingest:
+
+- :func:`windowed_turn_stats` — event-time tumbling-window rollup of
+  turn/token volume per role, with a watermark bounding how late a turn
+  may arrive: state for windows older than the watermark is evicted, so
+  state size is O(active windows), not O(stream history). At 10^12 turns
+  the aggregation state is bounded by (windows in watermark horizon x
+  roles), independent of throughput.
+- :func:`conversation_state` — ``applyInPandasWithState``: a running
+  per-conversation accumulator (turns seen, token volume, max turn_idx,
+  roles) that emits an updated row whenever a conversation receives new
+  turns. State lives in the checkpointed state store, so an
+  ``availableNow`` re-run RESUMES conversation counters instead of
+  restarting them — the streaming twin of the batch build's manifests.
+
+Both return unstarted streaming DataFrames; the caller owns the sink,
+trigger, and checkpoint (tests use availableNow + a memory sink).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.tokenize import tokens_col
+
+
+def windowed_turn_stats(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """(window, role, n_turns, n_tokens) tumbling event-time windows over
+    ``ts``; turns arriving later than ``watermark`` behind the max seen
+    event time are dropped (their window's state is already evicted)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("window"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
+        )
+    )
+
+
+CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+
+CONV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+
+
+def _conv_state_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        n_turns, n_tokens, max_idx = state.get
+    else:
+        n_turns, n_tokens, max_idx = 0, 0, -1
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_tokens += int(pdf["n_tok"].sum())
+        if len(pdf):
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+    state.update((n_turns, n_tokens, max_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_turns": [n_turns],
+            "n_tokens": [n_tokens],
+            "max_turn_idx": [max_idx],
+        }
+    )
+
+
+def conversation_state(stream: DataFrame) -> DataFrame:
+    """Running (conv_id, n_turns, n_tokens, max_turn_idx) — one updated
+    row per conversation per micro-batch that touched it. Tokenization
+    happens JVM-side BEFORE the stateful Python seam, so only (conv_id,
+    turn_idx, n_tok) scalars cross into Arrow batches."""
+    slim = stream.select(
+        "conv_id", "turn_idx", F.size(tokens_col("text")).alias("n_tok")
+    )
+    return slim.groupBy("conv_id").applyInPandasWithState(
+        _conv_state_fn,
+        outputStructType=CONV_OUTPUT_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,109 @@
+"""Streaming turn analytics: watermark semantics (late turns dropped,
+bounded state) and checkpointed per-conversation state that RESUMES
+across availableNow runs."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bm25_pagerank_rpi_spark.streaming.incremental import stream_transcripts
+from bm25_pagerank_rpi_spark.streaming.turn_stats import (
+    conversation_state,
+    windowed_turn_stats,
+)
+
+
+def _write(spark, path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2025, 1, 1, 10, minute)
+
+
+def _run_until_done(sdf, ckpt, mode):
+    """Run one availableNow pass; return every emitted row (the memory
+    sink cannot recover from a checkpoint, foreachBatch can)."""
+    rows = []
+
+    def handle(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_windowed_stats_watermark_drops_late(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, in_dir, [
+        ("c0", 0, "user", "alpha beta", "none", _ts(0)),
+        ("c0", 1, "assistant", "gamma", "none", _ts(1)),
+        ("c1", 0, "user", "delta epsilon zeta", "none", _ts(8)),
+    ])
+    stats = lambda: windowed_turn_stats(  # noqa: E731
+        stream_transcripts(spark, in_dir), window="5 minutes", watermark="2 minutes"
+    )
+    out1 = _run_until_done(stats(), ckpt, "update")
+    rows = {
+        (r.window.start.minute, r.role): (r.n_turns, r.n_tokens) for r in out1
+    }
+    assert rows[(0, "user")] == (1, 2)
+    assert rows[(0, "assistant")] == (1, 1)
+    assert rows[(5, "user")] == (1, 3)
+
+    # watermark after run 1 = 10:08 - 2min = 10:06, PAST the [10:00,10:05)
+    # window's end -> that window's state is evicted; a late turn for it
+    # must be DROPPED, while a turn for the still-open 10:05 window lands
+    _write(spark, in_dir, [
+        ("c2", 0, "user", "late late", "none", _ts(1)),        # too late
+        ("c2", 1, "user", "ok", "none", _ts(7)),               # in horizon
+    ])
+    out2 = _run_until_done(stats(), ckpt, "update")
+    rows2 = {
+        (r.window.start.minute, r.role): (r.n_turns, r.n_tokens) for r in out2
+    }
+    # only the updated [10:05,10:10) window is re-emitted this run; the
+    # dropped 10:01 row updates nothing
+    assert (0, "user") not in rows2
+    assert rows2[(5, "user")] == (2, 4)
+
+
+def test_conversation_state_resumes_across_runs(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, in_dir, [
+        ("c0", 0, "user", "alpha beta", "none", _ts(0)),
+        ("c0", 1, "assistant", "gamma delta epsilon", "none", _ts(1)),
+        ("c1", 0, "user", "zeta", "none", _ts(2)),
+    ])
+    conv = lambda: conversation_state(stream_transcripts(spark, in_dir))  # noqa: E731
+    got = {r.conv_id: r for r in _run_until_done(conv(), ckpt, "update")}
+    assert got["c0"].n_turns == 2 and got["c0"].n_tokens == 5
+    assert got["c0"].max_turn_idx == 1
+    assert got["c1"].n_turns == 1 and got["c1"].n_tokens == 1
+
+    # second availableNow run: counters RESUME from the state store
+    # (only the delta file is read), and untouched conversations emit
+    # nothing
+    _write(spark, in_dir, [
+        ("c0", 2, "user", "eta theta", "none", _ts(3)),
+    ])
+    got2 = {r.conv_id: r for r in _run_until_done(conv(), ckpt, "update")}
+    assert set(got2) == {"c0"}
+    assert got2["c0"].n_turns == 3
+    assert got2["c0"].n_tokens == 7
+    assert got2["c0"].max_turn_idx == 2
