@@ -400,6 +400,39 @@ def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time tumbling-window rollup — the BATCH twin of the streaming
+# watermarked aggregation (streaming/turn_stats.windowed_turn_stats uses
+# the same F.window operator); value-checked against DuckDB date_trunc
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_windowed_stats",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("window"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # J2/J3 analog — bulk metadata joins replacing the reference's per-doc RPC
 # fan-out (features.go:263-271): orders ⋈ customer ⋈ nation with agg
 # ---------------------------------------------------------------------------

@@ -262,14 +262,23 @@ def rank_documents(
     reference ranker.go:11-74. Returns (query_id, doc_id, bm25, rank,
     <feature block>) truncated to top-k per query.
 
-    ``doc_tf``/``doc_len`` are persisted: score_candidates consumes the
-    term-frequency relation three times (idf, candidate discovery, the
-    occurrence join) and without an explicit persist each consumer
-    re-runs the tokenize + hash-agg lineage — the dominant cost of the
-    from-raw path. (ReuseExchange only dedups bit-identical subplans;
-    column-pruning variants defeat it.)"""
-    dtf = doc_term_frequencies(docs).persist()
-    dlen = doc_lengths(docs).persist()
+    The corpus is TOKENIZED ONCE: ``doc_tokens`` is persisted and both
+    the term-frequency relation and the length relation derive from it
+    (score_candidates consumes doc_tf three times — idf, candidate
+    discovery, the occurrence join — and without an explicit persist
+    each consumer re-runs the tokenize lineage, the dominant cost of the
+    from-raw path; ReuseExchange only dedups bit-identical subplans, and
+    column-pruning variants defeat it). ``dtf`` is additionally persisted
+    because its own explode + hash-agg over every token is the second
+    cost tier."""
+    tok = doc_tokens(docs).persist()
+    dtf = (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .persist()
+    )
+    dlen = tok.select("doc_id", F.size("tokens").alias("doc_length"))
     stats = corpus_stats(dlen)
     scored = score_candidates(dtf, dlen, stats, queries)
     # the result is k rows per query — materialize it eagerly (lineage cut)
@@ -277,5 +286,5 @@ def rank_documents(
     # entry per call in a long-lived session
     out = topk(scored, k).localCheckpoint(eager=True)
     dtf.unpersist()
-    dlen.unpersist()
+    tok.unpersist()
     return out
