@@ -187,6 +187,11 @@ def main() -> None:
         }
         recall[f"r{radius}"] = round(len(exact_nn & lsh_nn) / max(len(exact_nn), 1), 4)
     recall_at_10 = recall["r1"]  # the default serving radius
+    ivf_nn = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, ANN_QUERY_IDS, k=10).collect()
+    }
+    ivf_recall = round(len(exact_nn & ivf_nn) / max(len(exact_nn), 1), 4)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -203,6 +208,7 @@ def main() -> None:
                 "replicas": REPLICAS,
                 "ann_lsh_recall_at_10": recall_at_10,
                 "ann_lsh_recall_by_probe_radius": recall,
+                "ann_ivf_recall_at_10": ivf_recall,
             }
         )
     )

@@ -345,6 +345,54 @@ register("ann_gemm_topk", _ORACLES["ann_cosine_topk"])(
 )
 
 
+def _centroid_values() -> str:
+    rows = []
+    for i, c in enumerate(similarity.ivf_centroids()):
+        arr = "[" + ", ".join(f"{x:.6f}" for x in c) + "]::DOUBLE[]"
+        rows.append(f"({i}, {arr})")
+    return ", ".join(rows)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cid, c) AS (VALUES {_centroid_values()}),
+scoredc AS (
+  SELECT e.vec_id, e.v, cents.cid, list_dot_product(e.v, cents.c) AS d
+  FROM e CROSS JOIN cents
+),
+rankedc AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS rn
+  FROM scoredc
+),
+assign AS (SELECT vec_id, v, cid AS cell FROM rankedc WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS cell
+  FROM rankedc WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= {similarity.NPROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS vec_id,
+         round({_COS.format(a='q.qv', b='a.v')}, 6) AS cos
+  FROM qprobe q JOIN assign a USING (cell) WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (assign to nearest of 16 deterministic
+    unit centroids, probe the 4 nearest cells) — the oracle replicates
+    assignment and probing with the identical centroid literals and
+    (dot desc, cid desc) tie-break."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+
+
 _PROBE_MASKS = similarity.probe_masks(similarity.N_PLANES, 1)
 
 @register(

@@ -226,6 +226,85 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def ivf_centroids(dim: int = EMB_DIM, n: int = N_CENTROIDS) -> list[list[float]]:
+    """Deterministic UNIT-NORM coarse-quantizer centroids (shared with the
+    SQL oracle; 6dp so literals are exact). A production IVF fits these
+    with k-means on a corpus sample — the assignment/probe plan below is
+    identical either way; fixed seeded centroids keep the driver oracle
+    data-independent."""
+    rng = np.random.RandomState(_PLANE_SEED + 1)
+    m = rng.randn(n, dim)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in row] for row in m]
+
+
+def _nearest_cells(v: Column, cents: list[list[float]], n: int) -> Column:
+    """ids of the n nearest centroids by (dot desc, cid desc) — unit-norm
+    centroids make dot order == cosine order."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(v, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    ordered = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["c"])
+
+
+def with_ivf_cell(emb: DataFrame, cents: list[list[float]] | None = None) -> DataFrame:
+    cents = cents or ivf_centroids()
+    v = F.col("v")
+    return (
+        _vecs(emb)
+        .withColumn("cell", _nearest_cells(v, cents, 1)[0])
+        .withColumn("nrm", norm(v))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec_ids: list[int], k: int = 10,
+    nprobe: int = NPROBE,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — IVF approximate top-k: every vector
+    is assigned to its nearest coarse centroid (one cell each; at scale
+    the table is WRITTEN partitioned by cell, so a probe reads nprobe/n
+    of the corpus via partition pruning); a query scans only its nprobe
+    nearest cells. Complements the LSH path: cells adapt to the data's
+    angular layout, probes trade recall for scan fraction explicitly."""
+    cents = cents or ivf_centroids()
+    b = with_ivf_cell(emb, cents)
+    q = (
+        b.filter(F.col("vec_id").isin(query_vec_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(_nearest_cells(F.col("v"), cents, nprobe)).alias("cell"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_dedup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     planes: list[list[float]] | None = None,

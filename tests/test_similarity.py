@@ -88,3 +88,30 @@ def test_cosine_dedup_finds_planted_pair(spark):
     pairs = similarity.cosine_dedup_pairs(aug, threshold=0.95, planes=planes).collect()
     assert {(r.vec_a, r.vec_b) for r in pairs} == {(3, 103)}
     assert pairs[0].cos == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_topk_probes_nearest_cells(spark):
+    emb, vecs = _emb(spark)
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    cents = similarity.ivf_centroids(dim=DIM)
+    out = similarity.ivf_topk(emb, [0], k=5, nprobe=2, cents=cents).collect()
+    assert out  # some neighbors share the probed cells
+    cm = np.array(cents)
+    assign = {
+        r.vec_id: r.cell
+        for r in similarity.with_ivf_cell(emb, cents).collect()
+    }
+    # numpy replica of the assignment: argmax dot with (dot desc, cid desc)
+    for vid, cell in assign.items():
+        d = cm @ np.array(vecs[vid])
+        best = max(range(len(cents)), key=lambda i: (round(d[i], 12), i))
+        assert cell == best
+    # probed cells of the query = its 2 best centroids
+    dq = cm @ np.array(vecs[0])
+    probe = set(sorted(range(len(cents)), key=lambda i: (-dq[i], -i))[:2])
+    for r in out:
+        assert assign[r.vec_id] in probe
+        assert r.cos == pytest.approx(round(_np_cosine(vecs[0], vecs[r.vec_id]), 6), abs=1e-9)
