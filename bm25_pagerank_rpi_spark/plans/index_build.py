@@ -287,14 +287,21 @@ def build_index(
                 F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
             )
             extra = []
+        # co-locate buckets for the write, but do NOT cap write
+        # parallelism at n_buckets tasks: sub-split each bucket by a
+        # doc_int stripe so the write uses ~cluster parallelism while
+        # file count stays bounded at n_buckets x files_per_bucket
+        files_per_bucket = max(1, (spark.sparkContext.defaultParallelism * 2) // n_buckets)
         post = (
             tf.select(
                 "term", "doc_int", "tf", "doc_length", *extra,
                 term_bucket("term", n_buckets).alias("bucket"),
             )
-            # co-locate each bucket into one write task: n_buckets files
-            # instead of (shuffle_partitions x n_buckets) small files
-            .repartition(n_buckets, "bucket")
+            .repartition(
+                n_buckets * files_per_bucket,
+                "bucket",
+                F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
+            )
         )
         out = cat.write(post, "postings", partition_by=["bucket"])
         n = cat.postings().count()
@@ -344,7 +351,13 @@ def build_index(
             .sortWithinPartitions("term", "range_id", "doc_int")
             .mapInPandas(enc, schema=BLOCK_SCHEMA)
             .withColumn("bucket", term_bucket("term", n_buckets))
-            .repartition(n_buckets, "bucket")
+            # same write-parallelism rule as stage 2: don't collapse the
+            # write to n_buckets tasks on a bigger cluster
+            .repartition(
+                n_buckets * max(1, (spark.sparkContext.defaultParallelism * 2) // n_buckets),
+                "bucket",
+                F.pmod(F.col("block_id"), F.lit(max(1, (spark.sparkContext.defaultParallelism * 2) // n_buckets))),
+            )
         )
         out = cat.write(blocks, "blocks", partition_by=["bucket"])
         n = cat.blocks().count()
