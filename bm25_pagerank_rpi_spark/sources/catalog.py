@@ -84,6 +84,13 @@ class IndexCatalog:
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
         p = self.path(table)
+        # a dynamically-partitioned write of ZERO rows emits zero files and
+        # the table becomes unreadable (no schema to infer); degrade to an
+        # unpartitioned single-file write so the empty table keeps its
+        # schema (the partition column stays as an ordinary column)
+        if partition_by and df.isEmpty():
+            partition_by = None
+            df = df.coalesce(1)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -111,7 +118,9 @@ class IndexCatalog:
 
     def scalar_stats(self) -> tuple[int, float]:
         row = self.corpus_stats().collect()[0]
-        return int(row.doc_count), float(row.avg_doc_length)
+        # avg over an empty corpus is NULL -> 0.0 (nothing to normalize)
+        avgdl = float(row.avg_doc_length) if row.avg_doc_length is not None else 0.0
+        return int(row.doc_count), avgdl
 
 
 def term_bucket(col: F.Column | str, n_buckets: int) -> F.Column:

@@ -234,3 +234,65 @@ def test_adaptive_tail_salt_reduces_fragmentation(spark, tmp_path):
         exact = query_exact.rank_from_index(cat, q_df, k=1000).collect()
         pruned = wand.wand_topk(cat, q_df, k=10).collect()
         _compare(exact, pruned, 10)
+
+
+def test_build_deterministic_across_parallelism(spark, corpus, tmp_path):
+    """Two builds of the same corpus with different shuffle/task layouts
+    must produce the SAME logical index: identical terms table and
+    identical decoded postings per (term, range) — the property that
+    makes resume + lineage claims meaningful on a cluster whose task
+    placement differs run to run."""
+    from bm25_pagerank_rpi_spark.index import codec
+
+    def build(dir_, parts):
+        df = transcripts_df(spark, corpus).repartition(parts)
+        return build_index(
+            spark, df, str(dir_), n_buckets=4, block_size=16, range_rows=32
+        )
+
+    a = build(tmp_path / "a", 2)
+    b = build(tmp_path / "b", 13)
+
+    t_a = {(r.term): (r.df, round(r.idf, 12), r.n_blocks, r.has_tail)
+           for r in a.terms().collect()}
+    t_b = {(r.term): (r.df, round(r.idf, 12), r.n_blocks, r.has_tail)
+           for r in b.terms().collect()}
+    assert t_a == t_b
+
+    def decoded(cat):
+        out = {}
+        for r in cat.blocks().collect():
+            d, tf, f = codec.decode_block(r)
+            out.setdefault((r.term, r.range_id), []).append(
+                (r.block_id, list(d), list(tf), [round(x, 12) for x in f])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert decoded(a) == decoded(b)
+
+
+def test_build_empty_and_degenerate_corpora(spark, tmp_path):
+    """Empty corpus and all-empty-text corpus build without error and the
+    query paths return empty results instead of crashing."""
+    from bm25_pagerank_rpi_spark.operators import query_exact, wand
+
+    q = spark.createDataFrame([("q1", "anything")], "query_id string, text string")
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cat = build_index(spark, empty, str(tmp_path / "empty"), n_buckets=4)
+    assert cat.scalar_stats()[0] == 0
+    assert wand.wand_topk(cat, q, k=5).count() == 0
+    assert query_exact.rank_from_index(cat, q, k=5).count() == 0
+
+    import datetime
+
+    blank = spark.createDataFrame(
+        [("c0", i, "user", "   ", "none", datetime.datetime(2025, 1, 1)) for i in range(3)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cat2 = build_index(spark, blank, str(tmp_path / "blank"), n_buckets=4)
+    n, avgdl = cat2.scalar_stats()
+    assert n == 3 and avgdl == 0.0
+    assert wand.wand_topk(cat2, q, k=5).count() == 0
