@@ -327,23 +327,44 @@ def build_index(
         # small minority of the vocabulary); at extreme vocab (~10^7 head
         # terms) this broadcast becomes a bloom filter / runtime filter —
         # a false positive only leaves one tail term range-fragmented.
-        head = (
-            post.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > tail_df_threshold)
-            .select("term", F.lit(True).alias("_head"))
-        )
-        ranged = (
-            post.withColumn("factor", factor)
-            .join(F.broadcast(head), "term", "left")
-            .withColumn(
-                "range_id",
-                F.when(
-                    F.col("_head").isNotNull(),
-                    (F.col("doc_int") / F.lit(range_rows)).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+        if tail_df_threshold and tail_df_threshold > 0:
+            # head-term detection only needs df RELATIVE to the threshold,
+            # so at scale it runs on a deterministic 1/16 subset (hash of
+            # the row key — independent of partitioning, so the index
+            # layout stays build-deterministic) with a conservative x2
+            # margin: a near-threshold term misroutes toward HEAD, which
+            # costs only range fragmentation, never correctness (the WAND
+            # path handles any head/tail mix via has_tail). Small
+            # thresholds (tests, tiny corpora) keep the exact count.
+            sample_mod = 16 if tail_df_threshold >= 256 else 1
+            cand = post.select("term", "doc_int")
+            cutoff = tail_df_threshold
+            if sample_mod > 1:
+                cand = cand.filter(
+                    F.pmod(F.xxhash64("term", "doc_int"), F.lit(sample_mod)) == 0
+                )
+                cutoff = tail_df_threshold // 2
+            head = (
+                cand.groupBy("term")
+                .agg((F.count(F.lit(1)) * sample_mod).alias("_df"))
+                .filter(F.col("_df") > cutoff)
+                .select("term", F.lit(True).alias("_head"))
             )
-        )
+            ranged = (
+                post.withColumn("factor", factor)
+                .join(F.broadcast(head), "term", "left")
+                .withColumn(
+                    "range_id",
+                    F.when(
+                        F.col("_head").isNotNull(),
+                        (F.col("doc_int") / F.lit(range_rows)).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long")),
+                )
+            )
+        else:  # tail salt disabled: no df pre-pass, pure doc-range salt
+            ranged = post.withColumn("factor", factor).withColumn(
+                "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
+            )
         npart = max(spark.sparkContext.defaultParallelism * 2, 8)
         blocks = (
             ranged.select("term", "range_id", "doc_int", "tf", "factor")
