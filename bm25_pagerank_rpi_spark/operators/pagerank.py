@@ -136,14 +136,15 @@ def _pagerank_loop(
             )
         )
         if redistribute_dangling:
+            # dangling mass stays IN the plan (1-row broadcast) instead of
+            # a driver collect per iteration
             dangling = (
                 ranks.join(deg, ranks.node == deg.src, "left_anti")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
-            new = new.select(
-                "node", (F.col("rank") + F.lit(damping * dangling / n)).alias("rank")
+            new = new.crossJoin(F.broadcast(dangling)).select(
+                "node",
+                (F.col("rank") + F.lit(damping) * F.col("_dm") / F.lit(float(n))).alias("rank"),
             )
         ranks = new
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
