@@ -33,6 +33,10 @@ identical doc sets and ranks, scores within 1e-12.
 
 from __future__ import annotations
 
+import math
+from collections import Counter
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -44,6 +48,13 @@ from ..sources.catalog import IndexCatalog
 from . import scorer
 
 WAND_SCHEMA = "query_id string, doc_int long, bm25 double"
+
+# guard for the corpus-global tail shard: a query touching more tail terms
+# than this sub-shards them by term hash, so a 1,000-term query's tail work
+# fans out across tasks instead of concentrating in one (tail sub-shards
+# accumulate exactly and their partial sums merge — each term's postings
+# live in exactly one sub-shard, so per-doc contributions stay disjoint)
+TAIL_TERMS_PER_SHARD = 32
 
 
 def _score_one_query(
@@ -142,8 +153,12 @@ def _score_one_query(
 
 def _accumulate_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Exact unpruned accumulation of a block set — used for the
-    corpus-global tail shard, whose total posting volume is bounded by
-    (#tail query terms x tail_df_threshold)."""
+    corpus-global tail shard(s), whose total posting volume is bounded by
+    (#tail query terms x max df of tail-routed terms). With exact head
+    detection that max df is tail_df_threshold; the sampled detection at
+    scale (plans/index_build.py) can route a near-threshold term to tail,
+    so the bound is ~threshold, not strictly it. Queries touching many
+    tail terms sub-shard by term hash (TAIL_TERMS_PER_SHARD)."""
     parts_d, parts_s = [], []
     for _term, g in pdf.groupby("term", sort=False):
         w = float(g["weight"].iloc[0])
@@ -170,9 +185,11 @@ def _kth_guarantee(scores: np.ndarray, tail_neg: float, k: int) -> float:
 
 
 def _make_wand_fn(k: int, slack: dict[str, tuple[float, float]]):
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # full type hints: pyspark's group_ops inspects the signature and emits
+    # a UserWarning per run when they are missing
+    def fn(key: tuple[str, int], pdf: pd.DataFrame) -> pd.DataFrame:
         query_id, range_id = key  # key = (query_id, range_id)
-        if int(range_id) == -1:
+        if int(range_id) < 0:  # tail shard (possibly hash-sub-sharded)
             docs, scores = _accumulate_all(pdf)
         else:
             sp, sn = slack.get(query_id, (0.0, 0.0))
@@ -205,13 +222,13 @@ def wand_topk(
     One-shot entry point: reads terms/blocks/meta from the catalog per
     call. A serving process answering many queries should hold a
     :class:`WandSession` instead (terms/meta/blocks cached across calls)."""
-    return _wand_topk_impl(
-        cat.spark,
-        queries,
-        _term_stats(cat),
-        cat.blocks(),
-        cat.doc_meta().select("doc_int", "doc_id"),
-        k,
+    spark = cat.spark
+    plan = _plan_spark(spark, queries, _term_stats(cat))
+    if plan is None:
+        return _empty_result(spark)
+    return _execute_plan(
+        spark, plan, _blocks_with_range(cat),
+        cat.doc_meta().select("doc_int", "doc_id"), k,
     )
 
 
@@ -228,14 +245,76 @@ def _term_stats(cat: IndexCatalog) -> DataFrame:
     )
 
 
-def _wand_topk_impl(
-    spark: SparkSession,
-    queries: DataFrame,
-    tstats: DataFrame,
-    all_blocks: DataFrame,
-    meta: DataFrame,
-    k: int,
-) -> DataFrame:
+def _blocks_with_range(cat: IndexCatalog) -> DataFrame:
+    """Blocks table with the WAND shard key. Pre-v3 indexes stored no
+    range_id column (the shard id was block_id arithmetic); synthesize it
+    with the old formula from the manifest config so on-disk indexes
+    built by older versions stay queryable, or fail with an actionable
+    message when the manifest predates the config block too."""
+    b = cat.blocks()
+    if "range_id" in b.columns:
+        return b
+    cfg = cat.read_manifest().get("config", {})
+    range_rows, block_size = cfg.get("range_rows"), cfg.get("block_size")
+    if not range_rows or not block_size:
+        raise ValueError(
+            f"index at {cat.root} has no range_id column and its manifest "
+            "records no range_rows/block_size — index format too old, rebuild "
+            "with plans.index_build.build_index"
+        )
+    blocks_per_range = range_rows // block_size + 1
+    return b.withColumn(
+        "range_id", (F.col("block_id") / F.lit(blocks_per_range)).cast("long")
+    )
+
+
+@dataclass
+class _QueryPlan:
+    """Driver-side result of query planning: the per-(query, term) weight
+    grid plus the pruning keys and rank-safety slack derived from it."""
+    qt: list[tuple[str, str, float]]          # (query_id, term, weight)
+    buckets: list[int]
+    terms: list[str]
+    slack: dict[str, tuple[float, float]]     # query_id -> (pos, neg)
+    n_tail_terms: int
+
+
+def _plan_from_rows(rows) -> _QueryPlan | None:
+    """Build the plan from (query_id, term, weight, bucket, max_factor,
+    min_factor, has_tail) records — the shared kernel of the Spark-join
+    planning (one-shot path) and the driver-dict planning (WandSession)."""
+    if not rows:
+        return None
+    # tail slack per query: bounds on the contribution a doc can collect
+    # from the corpus-global tail shard(s) — what keeps ranged-shard
+    # pruning rank-safe when a query mixes head and tail terms. Using the
+    # term's GLOBAL factor bounds slightly overestimates the tail part for
+    # terms that also have ranged blocks (delta segments) — conservative.
+    slack: dict[str, tuple[float, float]] = {}
+    tail_terms: set[str] = set()
+    for r in rows:
+        if r[6]:
+            _qid, _term, w, _b, maxf, minf = r[0], r[1], r[2], r[3], r[4], r[5]
+            tail_terms.add(_term)
+            ub = max(w * maxf, w * minf, 0.0)
+            lb = min(w * maxf, w * minf, 0.0)
+            sp, sn = slack.get(_qid, (0.0, 0.0))
+            slack[_qid] = (sp + ub, sn + lb)
+    return _QueryPlan(
+        qt=[(r[0], r[1], float(r[2])) for r in rows],
+        buckets=sorted({r[3] for r in rows}),
+        terms=sorted({r[1] for r in rows}),
+        slack=slack,
+        n_tail_terms=len(tail_terms),
+    )
+
+
+def _plan_spark(
+    spark: SparkSession, queries: DataFrame, tstats: DataFrame
+) -> _QueryPlan | None:
+    """Planning via a Spark join against the (possibly parquet-backed)
+    term-stats relation — the one-shot path, which never collects the
+    vocabulary. Cost: one small job per call."""
     # query terms with multiplicity -> weight = mult * idf (duplicate query
     # terms contribute once per occurrence, features_test.go:498-513)
     qocc = scorer.query_term_occurrences(queries)
@@ -243,47 +322,70 @@ def _wand_topk_impl(
     qt = (
         mult.join(tstats, "term")
         .select(
-            "query_id", "term", "bucket",
+            "query_id", "term",
             (F.col("mult").cast("double") * F.col("idf")).alias("weight"),
-            "max_factor", "min_factor", "has_tail",
+            "bucket", "max_factor", "min_factor", "has_tail",
         )
     )
-    qt_rows = qt.collect()  # |queries| x |unique terms| — tiny
-    if not qt_rows:
-        return _empty_result(spark)
-    buckets = sorted({r.bucket for r in qt_rows})
-    terms = sorted({r.term for r in qt_rows})
+    return _plan_from_rows([tuple(r) for r in qt.collect()])
+
+
+def _plan_local(
+    query_rows: list[tuple[str, str]],
+    stats: dict[str, tuple[float, int, float, float, int]],
+) -> _QueryPlan | None:
+    """Pure-driver planning against an in-memory term-stats dict: zero
+    Spark jobs. Tokenization is Python ``str.split()`` — the pinned twin
+    of functions/tokenize.tokens_col (both split on Unicode whitespace
+    runs and drop empties; tests/test_tokenize.py pins the equivalence)."""
+    rows = []
+    for qid, text in query_rows:
+        for term, mult in Counter((text or "").split()).items():
+            st = stats.get(term)
+            if st is None:
+                continue  # no postings -> term contributes nothing
+            idf, bucket, maxf, minf, has_tail = st
+            rows.append((qid, term, mult * idf, bucket, maxf, minf, has_tail))
+    return _plan_from_rows(rows)
+
+
+def _execute_plan(
+    spark: SparkSession,
+    plan: _QueryPlan,
+    all_blocks: DataFrame,
+    meta: DataFrame,
+    k: int,
+) -> DataFrame:
     qt_df = spark.createDataFrame(
-        [(r.query_id, r.term, r.weight) for r in qt_rows],
-        "query_id string, term string, weight double",
+        plan.qt, "query_id string, term string, weight double"
     )
-    # tail slack per query: bounds on the contribution a doc can collect
-    # from the corpus-global (-1) shard — what keeps ranged-shard pruning
-    # rank-safe when a query mixes head and tail terms. Using the term's
-    # GLOBAL factor bounds slightly overestimates the tail part for terms
-    # that also have ranged blocks (delta segments), which is conservative.
-    slack: dict[str, tuple[float, float]] = {}
-    for r in qt_rows:
-        if r.has_tail:
-            ub = max(r.weight * r.max_factor, r.weight * r.min_factor, 0.0)
-            lb = min(r.weight * r.max_factor, r.weight * r.min_factor, 0.0)
-            sp, sn = slack.get(r.query_id, (0.0, 0.0))
-            slack[r.query_id] = (sp + ub, sn + lb)
     # range_id is STORED per block (all blocks covering a doc interval share
     # it, across batch-built and incrementally-appended segments), so the
     # shard mapping is independent of block_id arithmetic
     blocks = (
         all_blocks
-        .filter(F.col("bucket").isin(buckets))  # partition pruning
-        .filter(F.col("term").isin(terms))      # row-group pruning
+        .filter(F.col("bucket").isin(plan.buckets))  # partition pruning
+        .filter(F.col("term").isin(plan.terms))      # row-group pruning
         .join(F.broadcast(qt_df), "term")
     )
+    # tail-shard guard: fan a many-tail-term query's corpus-global work
+    # out over ceil(#tail terms / TAIL_TERMS_PER_SHARD) hash sub-shards
+    n_tail_shards = max(1, math.ceil(plan.n_tail_terms / TAIL_TERMS_PER_SHARD))
+    if n_tail_shards > 1:
+        blocks = blocks.withColumn(
+            "range_id",
+            F.when(
+                F.col("range_id") < 0,
+                F.lit(-1) - F.pmod(F.xxhash64("term"), F.lit(n_tail_shards)),
+            ).otherwise(F.col("range_id")),
+        )
     partial = blocks.groupBy("query_id", "range_id").applyInPandas(
-        _make_wand_fn(k, slack), WAND_SCHEMA
+        _make_wand_fn(k, plan.slack), WAND_SCHEMA
     )
     # a doc's score may be split between its doc-range shard and the
-    # tail shard; contributions are disjoint by construction, so summing
-    # partials reconstructs the exact BM25 before the top-k merge
+    # tail shard(s); contributions are disjoint by construction (each
+    # term's postings live in exactly one shard), so summing partials
+    # reconstructs the exact BM25 before the top-k merge
     result = partial.groupBy("query_id", "doc_int").agg(
         F.sum("bm25").alias("bm25")
     )
@@ -303,9 +405,14 @@ class WandSession:
     DataFrames reused across ``topk`` calls.
 
     What is cached and why:
-    - ``terms`` (vocab-sized, columns term/idf/bucket): every query joins
-      + collects against it; cached in executor memory it is an in-memory
-      scan instead of a parquet read per request.
+    - term stats: collected ONCE into a driver-side dict (term -> idf /
+      bucket / factor bounds / has_tail) — the same vocab-sized table the
+      reference API process holds in memory. Per-query planning then runs
+      in pure Python with ZERO Spark jobs; previously the plan was a
+      Spark join + collect per request, a whole extra job that floored
+      warm latency. For a vocabulary too large for driver memory, pass
+      ``driver_stats=False`` to fall back to Spark-join planning over a
+      cached term-stats DataFrame.
     - ``doc_meta`` projection (doc_int, doc_id): joined after top-k.
     - ``blocks``: optionally preloaded (MEMORY_AND_DISK — an index larger
       than cluster memory spills instead of failing). Per-query bucket +
@@ -314,37 +421,73 @@ class WandSession:
     ``close()`` unpersists everything; the session is also a context
     manager."""
 
-    def __init__(self, cat: IndexCatalog, preload_blocks: bool = True):
+    def __init__(
+        self,
+        cat: IndexCatalog,
+        preload_blocks: bool = True,
+        driver_stats: bool = True,
+    ):
         self.cat = cat
-        self.terms = _term_stats(cat).persist()
         self.meta = cat.doc_meta().select("doc_int", "doc_id").persist()
         self._preloaded = preload_blocks
         if preload_blocks:
             from pyspark import StorageLevel
 
-            self.blocks = cat.blocks().persist(StorageLevel.MEMORY_AND_DISK)
+            self.blocks = _blocks_with_range(cat).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         else:
-            self.blocks = cat.blocks()
+            self.blocks = _blocks_with_range(cat)
+        self._stats: dict[str, tuple[float, int, float, float, int]] | None
+        if driver_stats:
+            self._stats = {
+                r.term: (r.idf, r.bucket, r.max_factor, r.min_factor, r.has_tail)
+                for r in _term_stats(cat).collect()
+            }
+            self.terms = None
+        else:
+            self._stats = None
+            self.terms = _term_stats(cat).persist()
+            self.terms.count()
         # materialize the caches now (warmup), not inside the first request
-        self.terms.count()
         self.meta.count()
         if preload_blocks:
             self.blocks.count()
 
     def topk(self, queries: DataFrame, k: int = MAX_DOCUMENTS) -> DataFrame:
-        """Same contract as :func:`wand_topk`, over the cached state."""
-        return _wand_topk_impl(
-            self.cat.spark, queries, self.terms, self.blocks, self.meta, k
-        )
+        """Same contract as :func:`wand_topk`, over the cached state. With
+        driver-side stats the queries frame is collected for planning
+        (queries are tiny by contract — this is the serving path)."""
+        spark = self.cat.spark
+        if self._stats is not None:
+            rows = [
+                (r[0], r[1])
+                for r in queries.select("query_id", "text").collect()
+            ]
+            plan = _plan_local(rows, self._stats)
+        else:
+            plan = _plan_spark(spark, queries, self.terms)
+        if plan is None:
+            return _empty_result(spark)
+        return _execute_plan(spark, plan, self.blocks, self.meta, k)
 
     def topk_text(self, query_id: str, text: str, k: int = MAX_DOCUMENTS) -> DataFrame:
-        q = self.cat.spark.createDataFrame(
+        """Single-query serving entry: with driver-side stats the ONLY
+        Spark job launched is the scoring query itself."""
+        spark = self.cat.spark
+        if self._stats is not None:
+            plan = _plan_local([(query_id, text)], self._stats)
+            if plan is None:
+                return _empty_result(spark)
+            return _execute_plan(spark, plan, self.blocks, self.meta, k)
+        q = spark.createDataFrame(
             [(query_id, text)], "query_id string, text string"
         )
         return self.topk(q, k)
 
     def close(self) -> None:
-        self.terms.unpersist()
+        if self.terms is not None:
+            self.terms.unpersist()
         self.meta.unpersist()
         if self._preloaded:
             self.blocks.unpersist()

@@ -156,6 +156,65 @@ def _make_encode_partition_fn(
     return fn
 
 
+def with_range_routing(
+    post: DataFrame, range_rows: int, tail_df_threshold: int | None
+) -> DataFrame:
+    """Attach the blocks-stage grouping key ``range_id``: order-preserving
+    doc-range salt for head terms, corpus-global collapse (range_id = -1)
+    for tail terms (df <= tail_df_threshold). SHARED by the batch blocks
+    stage and the incremental encoder (streaming/incremental.py) so
+    compaction and delta segments apply the same layout policy as a
+    from-scratch build — without this, the first compaction would silently
+    re-fragment zipf-tail terms into singleton blocks."""
+    if not tail_df_threshold or tail_df_threshold <= 0:
+        # tail salt disabled: no df pre-pass, pure doc-range salt
+        return post.withColumn(
+            "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
+        )
+    # head-term detection only needs df RELATIVE to the threshold,
+    # so at scale it runs on a deterministic 1/16 subset (hash of
+    # the row key — independent of partitioning, so the index
+    # layout stays build-deterministic) with a conservative x4
+    # margin. Misrouting is BIASED toward head (a near-threshold
+    # term usually samples above threshold/4), which costs only
+    # range fragmentation; the opposite direction (df modestly
+    # above threshold sampling below threshold/64 occurrences) has
+    # vanishing but nonzero probability, so the tail-shard volume
+    # bound is "~threshold per tail term", not a strict ceiling —
+    # never a correctness issue either way (the WAND path handles
+    # any head/tail mix via has_tail and sub-shards large tail
+    # sets). Small thresholds (tests, tiny corpora) keep the
+    # exact count. The head set is broadcast (zipf: it is the small
+    # minority of the vocabulary); at extreme vocab (~10^7 head terms)
+    # this broadcast becomes a bloom filter / runtime filter — a false
+    # positive only leaves one tail term range-fragmented.
+    sample_mod = 16 if tail_df_threshold >= 256 else 1
+    cand = post.select("term", "doc_int")
+    cutoff = tail_df_threshold
+    if sample_mod > 1:
+        cand = cand.filter(
+            F.pmod(F.xxhash64("term", "doc_int"), F.lit(sample_mod)) == 0
+        )
+        cutoff = tail_df_threshold // 4
+    head = (
+        cand.groupBy("term")
+        .agg((F.count(F.lit(1)) * sample_mod).alias("_df"))
+        .filter(F.col("_df") > cutoff)
+        .select("term", F.lit(True).alias("_head"))
+    )
+    return (
+        post.join(F.broadcast(head), "term", "left")
+        .withColumn(
+            "range_id",
+            F.when(
+                F.col("_head").isNotNull(),
+                (F.col("doc_int") / F.lit(range_rows)).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
+        .drop("_head")
+    )
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -323,48 +382,11 @@ def build_index(
         # adaptive salt: head terms (df > threshold) get doc-range groups;
         # tail terms collapse to ONE corpus-global group (range_id = -1),
         # so a df=10 term yields one 10-posting block instead of up to 10
-        # singleton blocks. The head set is broadcast (zipf: it is the
-        # small minority of the vocabulary); at extreme vocab (~10^7 head
-        # terms) this broadcast becomes a bloom filter / runtime filter —
-        # a false positive only leaves one tail term range-fragmented.
-        if tail_df_threshold and tail_df_threshold > 0:
-            # head-term detection only needs df RELATIVE to the threshold,
-            # so at scale it runs on a deterministic 1/16 subset (hash of
-            # the row key — independent of partitioning, so the index
-            # layout stays build-deterministic) with a conservative x2
-            # margin: a near-threshold term misroutes toward HEAD, which
-            # costs only range fragmentation, never correctness (the WAND
-            # path handles any head/tail mix via has_tail). Small
-            # thresholds (tests, tiny corpora) keep the exact count.
-            sample_mod = 16 if tail_df_threshold >= 256 else 1
-            cand = post.select("term", "doc_int")
-            cutoff = tail_df_threshold
-            if sample_mod > 1:
-                cand = cand.filter(
-                    F.pmod(F.xxhash64("term", "doc_int"), F.lit(sample_mod)) == 0
-                )
-                cutoff = tail_df_threshold // 2
-            head = (
-                cand.groupBy("term")
-                .agg((F.count(F.lit(1)) * sample_mod).alias("_df"))
-                .filter(F.col("_df") > cutoff)
-                .select("term", F.lit(True).alias("_head"))
-            )
-            ranged = (
-                post.withColumn("factor", factor)
-                .join(F.broadcast(head), "term", "left")
-                .withColumn(
-                    "range_id",
-                    F.when(
-                        F.col("_head").isNotNull(),
-                        (F.col("doc_int") / F.lit(range_rows)).cast("long"),
-                    ).otherwise(F.lit(-1).cast("long")),
-                )
-            )
-        else:  # tail salt disabled: no df pre-pass, pure doc-range salt
-            ranged = post.withColumn("factor", factor).withColumn(
-                "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
-            )
+        # singleton blocks. Routing policy shared with the incremental
+        # encoder — see with_range_routing above.
+        ranged = with_range_routing(
+            post.withColumn("factor", factor), range_rows, tail_df_threshold
+        )
         npart = max(spark.sparkContext.defaultParallelism * 2, 8)
         blocks = (
             ranged.select("term", "range_id", "doc_int", "tf", "factor")

@@ -84,17 +84,19 @@ class IndexCatalog:
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
         p = self.path(table)
-        # a dynamically-partitioned write of ZERO rows emits zero files and
-        # the table becomes unreadable (no schema to infer); degrade to an
-        # unpartitioned single-file write so the empty table keeps its
-        # schema (the partition column stays as an ordinary column)
-        if partition_by and df.isEmpty():
-            partition_by = None
-            df = df.coalesce(1)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(p)
+        # a dynamically-partitioned write of ZERO rows emits zero files and
+        # the table becomes unreadable (no schema to infer). Repair AFTER the
+        # write by checking for data files — a driver-side listing — instead
+        # of probing df.isEmpty() up front, which launches a take(1) job that
+        # re-executes the full upstream plan (tokenize/explode/encode) and
+        # roughly doubles map-side work of the hottest build stages.
+        if partition_by and not _has_parquet_files(p):
+            (self.spark.createDataFrame([], df.schema)
+                 .coalesce(1).write.mode("overwrite").parquet(p))
         return p
 
     def read(self, table: str) -> DataFrame:
@@ -121,6 +123,16 @@ class IndexCatalog:
         # avg over an empty corpus is NULL -> 0.0 (nothing to normalize)
         avgdl = float(row.avg_doc_length) if row.avg_doc_length is not None else 0.0
         return int(row.doc_count), avgdl
+
+
+def _has_parquet_files(path: str) -> bool:
+    """True if any parquet data file exists under ``path`` (recursively).
+    Driver-side listing — O(#files), never re-executes the write plan."""
+    for dirpath, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                return True
+    return False
 
 
 def term_bucket(col: F.Column | str, n_buckets: int) -> F.Column:

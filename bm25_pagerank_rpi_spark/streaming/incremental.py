@@ -132,11 +132,25 @@ def _encode_postings(
     range_rows: int,
     n_buckets: int,
     block_id_base: int = 0,
+    tail_df_threshold: int | None = None,
 ) -> DataFrame:
     """(term, range_id)-grouped block encode of a postings relation under a
-    FIXED normalizer — the shared kernel of compaction and delta append."""
+    FIXED normalizer — the shared kernel of compaction and delta append.
+    Applies the SAME head/tail range routing as the batch blocks stage
+    (``tail_df_threshold`` from the manifest), so a compacted or
+    incrementally-grown index keeps the batch build's layout policy:
+    zipf-tail terms stay collapsed in corpus-global blocks instead of
+    re-fragmenting into singletons. Tail routing of a DELTA encode is
+    decided on the delta's own df (most delta terms are tail-sized);
+    a term may therefore hold both ranged and tail blocks across
+    generations — the WAND path scores that mix exactly (has_tail +
+    partial-sum merge)."""
     from .. import B, K1
-    from ..plans.index_build import BLOCK_SCHEMA, _make_encode_partition_fn
+    from ..plans.index_build import (
+        BLOCK_SCHEMA,
+        _make_encode_partition_fn,
+        with_range_routing,
+    )
 
     tfd = F.col("tf").cast("double")
     dl = F.col("doc_length").cast("double")
@@ -145,8 +159,8 @@ def _encode_postings(
     )
     blocks_per_range = range_rows // block_size + 1
     enc = _make_encode_partition_fn(block_size, blocks_per_range, block_id_base)
-    ranged = post.withColumn("factor", factor).withColumn(
-        "range_id", (F.col("doc_int") / F.lit(range_rows)).cast("long")
+    ranged = with_range_routing(
+        post.withColumn("factor", factor), range_rows, tail_df_threshold
     )
     npart = max(cat.spark.sparkContext.defaultParallelism * 2, 8)
     return (
@@ -191,24 +205,27 @@ def _refresh_terms(cat: IndexCatalog, n_buckets: int) -> None:
     terms.write.mode("overwrite").parquet(cat.path("terms"))
 
 
-def _config(cat: IndexCatalog) -> tuple[int, int, int]:
+def _config(cat: IndexCatalog) -> tuple[int, int, int, int]:
     from ..index import codec
 
     cfg = cat.read_manifest().get("config", {})
     n_buckets = int(cfg.get("n_buckets") or 32)
     block_size = int(cfg.get("block_size") or codec.DEFAULT_BLOCK_SIZE)
     range_rows = int(cfg.get("range_rows") or 1 << 20)
-    return n_buckets, block_size, range_rows
+    # default matches build_index: threshold = block_size
+    tail_df_threshold = int(cfg.get("tail_df_threshold", block_size))
+    return n_buckets, block_size, range_rows, tail_df_threshold
 
 
 def compact(cat: IndexCatalog) -> None:
     """Full re-encode of every block under the CURRENT avg_doc_length —
     restores exact-BM25 parity with a from-scratch build. O(corpus);
     runs only when drift exceeds epsilon (or on the first ingest)."""
-    n_buckets, block_size, range_rows = _config(cat)
+    n_buckets, block_size, range_rows, tail_df_threshold = _config(cat)
     _, avgdl = cat.scalar_stats()
     blocks = _encode_postings(
-        cat, cat.postings(), avgdl, block_size, range_rows, n_buckets
+        cat, cat.postings(), avgdl, block_size, range_rows, n_buckets,
+        tail_df_threshold=tail_df_threshold,
     ).repartition(n_buckets, "bucket")
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(cat.path("blocks"))
     _refresh_terms(cat, n_buckets)
@@ -225,7 +242,7 @@ def append_delta_blocks(cat: IndexCatalog, min_doc_int: int) -> None:
     The doc_int predicate pushes down to the postings scan, and because
     segment files hold disjoint doc_int ranges, parquet row-group stats
     prune every pre-existing file — the encode cost is O(delta)."""
-    n_buckets, block_size, range_rows = _config(cat)
+    n_buckets, block_size, range_rows, tail_df_threshold = _config(cat)
     m = cat.read_manifest()
     avgdl = float(m["encode_avgdl"])
     gen = int(m.get("delta_gens", 0)) + 1
@@ -233,6 +250,7 @@ def append_delta_blocks(cat: IndexCatalog, min_doc_int: int) -> None:
     blocks = _encode_postings(
         cat, post, avgdl, block_size, range_rows, n_buckets,
         block_id_base=gen * GEN_STRIDE,
+        tail_df_threshold=tail_df_threshold,
     )
     blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("blocks"))
     _refresh_terms(cat, n_buckets)

@@ -112,6 +112,61 @@ def _block_files(idx: str) -> dict[str, int]:
     return out
 
 
+def test_incremental_encode_applies_tail_salt(spark, tmp_path):
+    """ADVICE r2: the incremental encoder applies the SAME head/tail range
+    routing as the batch blocks stage (threshold from the manifest), so a
+    compacted index keeps zipf-tail terms in corpus-global blocks
+    (range_id = -1, has_tail = 1) and head terms doc-range salted —
+    instead of silently re-fragmenting the tail on first compaction."""
+    from bm25_pagerank_rpi_spark.sources.catalog import IndexCatalog
+
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    # 'hot' appears in every doc (df=150 > threshold 4 -> head, range
+    # salted); each 'fillerN' appears once (df=1 -> tail, collapsed)
+    rows = [(f"c{i}", 0, f"hot filler{i}") for i in range(150)]
+    _write_batch(spark, in_dir, rows)
+    cat = IndexCatalog(spark, idx)
+    m = cat.read_manifest()
+    m["config"] = {"n_buckets": 4, "block_size": 16, "range_rows": 32,
+                   "tail_df_threshold": 4}
+    cat.write_manifest(m)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4)
+    blk = cat.blocks().select("term", "range_id").collect()
+    assert all(r.range_id == -1 for r in blk if r.term != "hot")
+    hot_ranges = sorted({r.range_id for r in blk if r.term == "hot"})
+    assert hot_ranges == [0, 1, 2, 3, 4]  # 150 docs / range_rows=32
+    tails = {r.term: r.has_tail for r in cat.terms().collect()}
+    assert tails["hot"] == 0 and tails["filler0"] == 1
+    # and the salted layout still answers queries exactly
+    full = _exact_from_raw_q(spark, rows, "hot filler3 filler7")
+    got = {
+        (r.doc_id, r.rank): r.bm25
+        for r in wand.wand_topk(
+            cat,
+            spark.createDataFrame(
+                [("q1", "hot filler3 filler7")], "query_id string, text string"
+            ),
+            k=10,
+        ).collect()
+    }
+    assert got.keys() == full.keys()
+    for k_, v in full.items():
+        assert got[k_] == pytest.approx(v, abs=1e-12)
+
+
+def _exact_from_raw_q(spark, rows, qtext, k=10):
+    docs = spark.createDataFrame(
+        [(f"{c}:{t}", text) for (c, t, text) in rows], "doc_id string, text string"
+    )
+    q = spark.createDataFrame([("q1", qtext)], "query_id string, text string")
+    return {
+        (r.doc_id, r.rank): r.bm25
+        for r in scorer.rank_documents(docs, q, k=k).collect()
+    }
+
+
 def test_epsilon_gated_delta_append_and_compaction(spark, tmp_path):
     """VERDICT r1 #3: (a) an append run with avgdl drift < epsilon touches
     only the new segment's blocks (frozen-normalizer delta encode, old
