@@ -120,17 +120,38 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.7, n: int = SHINGLE_N
+    docs: DataFrame, threshold: float = 0.7, n: int = SHINGLE_N,
+    max_shingle_df: int | None = 512,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with exact shingle-Jaccard >=
     threshold. Intersection counts fall straight out of the shared-shingle
     self-join's groupBy — pairs with zero overlap are never materialized
-    and the pair list is never re-joined against the shingle relation."""
+    and the pair list is never re-joined against the shingle relation.
+
+    ``max_shingle_df`` (VERDICT r2 #3) caps the self-join's collision
+    groups: a stop-shingle appearing in d docs would otherwise generate
+    O(d^2) join rows. Shingles with df > cap are dropped BEFORE the join
+    (the standard trick), bounding join output at |shingles| * cap. The
+    reported jaccard still uses the FULL shingle-set sizes, so scores of
+    surviving pairs only shrink; recall is lost only for pairs whose
+    entire overlap is capped shingles — e.g. thousands of copies of one
+    document, which exact_duplicates / minhash_dedup_pairs catch without
+    a quadratic join (pinned by tests/test_dedup.py degenerate-skew test).
+    Pass None for the exact-but-quadratic-in-collisions semantics."""
     sh = doc_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
     inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(joinable.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -174,12 +195,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
+    sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs whose signatures collide in >= 1 LSH band.
 
     Band key = comma-joined minhashes of the band in i-order; the
-    self-join keys on (band, band_key) so only same-bucket docs meet."""
+    self-join keys on (band, band_key) so only same-bucket docs meet.
+
+    Degenerate-bucket guard (VERDICT r2 #3): a bucket holding thousands of
+    near-identical docs would emit O(|bucket|^2) candidate pairs. Buckets
+    larger than ``bucket_cap`` emit the STAR instead — every member paired
+    with the bucket's min doc_id — O(|bucket|) candidates that still link
+    the whole group to one canonical for dedup purposes (pairwise scores
+    between two non-canonical members of a degenerate bucket are not
+    emitted). Pass None to always emit all pairs."""
     rows = num_hashes // bands
     band_keys = (
         sigs.withColumn("band", (F.col("i") / rows).cast("int"))
@@ -194,14 +224,32 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
-    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (
+    if bucket_cap is None:
+        a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+        return (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    stats = band_keys.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_bmin")
+    )
+    keyed = band_keys.join(stats, ["band", "band_key"])
+    small = keyed.filter(F.col("_bsz") <= bucket_cap)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    all_pairs = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    star = (
+        keyed.filter((F.col("_bsz") > bucket_cap) & (F.col("doc_id") != F.col("_bmin")))
+        .select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return all_pairs.unionByName(star).distinct()
 
 
 def minhash_dedup_pairs(
@@ -209,11 +257,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): LSH candidates verified with exact Jaccard.
     False positives from banding are removed by the verify; false negatives
-    follow the standard (1-(1-j^r)^b) LSH recall curve."""
-    cand = lsh_candidate_pairs(minhash_signatures(docs, num_hashes), num_hashes, bands)
+    follow the standard (1-(1-j^r)^b) LSH recall curve. ``bucket_cap``:
+    see :func:`lsh_candidate_pairs` (degenerate buckets emit their star)."""
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes), num_hashes, bands, bucket_cap
+    )
     return _pair_jaccard(doc_shingles(docs), cand).filter(F.col("jaccard") >= threshold)
 
 

@@ -112,3 +112,34 @@ def test_simhash_banding_recall_guarantee(spark):
     for a, b in itertools.combinations(sorted(vals), 2):
         if bin(vals[a] ^ vals[b]).count("1") <= dedup.SIMHASH_BANDS - 1:
             assert (a, b) in found
+
+
+def test_degenerate_skew_bucket_survival(spark):
+    """VERDICT r2 #3 adversarial fixture: 10k near-identical docs — every
+    shingle is a stop-shingle and every LSH bucket is degenerate. Both
+    Jaccard paths must complete with LINEAR candidate volume instead of
+    the ~5*10^7-pair explosion of uncapped all-pairs; the identity
+    classes remain fully linked through exact_duplicates (hash groupBy),
+    which is the right tool for mass-duplicate corpora."""
+    n = 10_000
+    docs = spark.range(n).selectExpr(
+        "cast(id as string) as doc_id",
+        "concat('the quick brown fox jumps over the lazy dog variant ',"
+        " cast(id % 7 as string)) as text",
+    )
+    # exact dedup links all 7 identity classes in O(n)
+    ex = dedup.exact_duplicates(docs)
+    assert ex.count() == n
+    assert ex.select("canonical_id").distinct().count() == 7
+    # minhash LSH: degenerate buckets emit their star -> linear candidates
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    n_cand = cand.count()
+    assert 0 < n_cand < 5 * n  # not ~n^2/2 = 5*10^7
+    # exact n-gram Jaccard: stop-shingles (df 10k >> cap) are dropped
+    # before the self-join, so the query completes instead of exploding;
+    # all-stop-shingle pairs are exact_duplicates' job (documented trade)
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.7).count() == 0
+    # uncapped semantics still available explicitly on small corpora
+    small = docs.filter(F.col("doc_id").cast("long") < 20)
+    capped = dedup.ngram_jaccard_pairs(small, threshold=0.7, max_shingle_df=None)
+    assert capped.count() > 0  # identical docs rejoin at jaccard 1.0
