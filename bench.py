@@ -167,31 +167,66 @@ def main() -> None:
         if fn is not None:
             timed(name, lambda fn=fn: fn(spark, SF_DIR).count())
 
-    # LSH ANN quality: recall@10 of the bucket-restricted probe vs the
-    # brute-force exact top-10 over the same embeddings (untimed)
+    # ANN quality (untimed): recall@10 vs brute-force exact top-10 with
+    # the matching scan fraction, on TWO distributions — the driver's
+    # isotropic embeddings (structureless: the ANN worst case) and a
+    # 20-cluster Gaussian-mixture fixture (the regime real embedding
+    # corpora live in). LSH curves per probe radius; IVF with the fixed
+    # data-independent centroids AND sampled-kmeans centroids per nprobe.
     from bm25_pagerank_rpi_spark.entry_queries_pipeline import ANN_QUERY_IDS
     from bm25_pagerank_rpi_spark.operators import similarity
+    from bm25_pagerank_rpi_spark.sources.embeddings_fixture import (
+        synthesize_clustered_embeddings,
+    )
+
+    def recall_curves(emb_df):
+        exact_nn = {
+            (r.query_id, r.vec_id)
+            for r in similarity.brute_force_topk(emb_df, ANN_QUERY_IDS, k=10).collect()
+        }
+
+        def rec(df):
+            got = {(r.query_id, r.vec_id) for r in df.collect()}
+            return round(len(exact_nn & got) / max(len(exact_nn), 1), 4)
+
+        planes = similarity.hyperplanes()
+        out = {"lsh": {}, "ivf_fixed": {}, "ivf_kmeans": {}}
+        for radius in (0, 1, 2):
+            out["lsh"][f"radius{radius}"] = {
+                "recall": rec(similarity.lsh_topk(
+                    emb_df, ANN_QUERY_IDS, k=10, planes=planes,
+                    probe_hamming=radius,
+                )),
+                "scan_frac": round(
+                    len(similarity.probe_masks(len(planes), radius))
+                    / (1 << len(planes)), 4,
+                ),
+            }
+        kmeans_cents = similarity.kmeans_centroids(emb_df)
+        for key, cents in (
+            ("ivf_fixed", similarity.ivf_centroids()),
+            ("ivf_kmeans", kmeans_cents),
+        ):
+            for nprobe in (1, 2, 4):
+                out[key][f"nprobe{nprobe}"] = {
+                    "recall": rec(similarity.ivf_topk(
+                        emb_df, ANN_QUERY_IDS, k=10, nprobe=nprobe, cents=cents
+                    )),
+                    "scan_frac": round(nprobe / len(cents), 4),
+                }
+        return out
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    exact_nn = {
-        (r.query_id, r.vec_id)
-        for r in similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=10).collect()
+    n_emb = emb.count()
+    clustered = synthesize_clustered_embeddings(spark, n_emb)
+    ann_recall = {
+        "isotropic": recall_curves(emb),
+        "clustered": recall_curves(clustered),
     }
-    recall = {}
-    for radius in (0, 1, 2):
-        lsh_nn = {
-            (r.query_id, r.vec_id)
-            for r in similarity.lsh_topk(
-                emb, ANN_QUERY_IDS, k=10, probe_hamming=radius
-            ).collect()
-        }
-        recall[f"r{radius}"] = round(len(exact_nn & lsh_nn) / max(len(exact_nn), 1), 4)
-    recall_at_10 = recall["r1"]  # the default serving radius
-    ivf_nn = {
-        (r.query_id, r.vec_id)
-        for r in similarity.ivf_topk(emb, ANN_QUERY_IDS, k=10).collect()
-    }
-    ivf_recall = round(len(exact_nn & ivf_nn) / max(len(exact_nn), 1), 4)
+    recall = {k.replace("radius", "r"): v["recall"]
+              for k, v in ann_recall["isotropic"]["lsh"].items()}
+    recall_at_10 = recall["r2"]  # the default serving radius
+    ivf_recall = ann_recall["isotropic"]["ivf_fixed"]["nprobe4"]["recall"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -209,6 +244,7 @@ def main() -> None:
                 "ann_lsh_recall_at_10": recall_at_10,
                 "ann_lsh_recall_by_probe_radius": recall,
                 "ann_ivf_recall_at_10": ivf_recall,
+                "ann_recall": ann_recall,
             }
         )
     )

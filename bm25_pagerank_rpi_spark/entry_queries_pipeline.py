@@ -271,7 +271,11 @@ SELECT vec_a, vec_b, cos FROM (
 """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_dedup_pairs(_emb_aug(spark, sf_dir), threshold=0.95)
+    # planes pinned to the fixed hyperplane literals so the oracle SQL is
+    # data-independent; the library default scales planes with corpus size
+    return similarity.cosine_dedup_pairs(
+        _emb_aug(spark, sf_dir), threshold=0.95, planes=similarity.hyperplanes()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +397,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=ANN_K)
 
 
-_PROBE_MASKS = similarity.probe_masks(similarity.N_PLANES, 1)
+_PROBE_MASKS = similarity.probe_masks(similarity.N_PLANES, 2)
 
 @register(
     "ann_lsh_topk",
@@ -418,10 +422,13 @@ SELECT query_id, vec_id, cos, rank FROM (
 """,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe (Hamming radius 1) LSH ANN — the oracle replicates the
-    probe-bucket expansion with xor over the same mask list."""
+    """Multi-probe LSH ANN at the default serving radius (2) — the oracle
+    replicates the probe-bucket expansion with xor over the same mask
+    list. Planes pinned to the fixed literals (data-independent oracle)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    return similarity.lsh_topk(
+        emb, ANN_QUERY_IDS, k=ANN_K, planes=similarity.hyperplanes()
+    )
 
 
 # ---------------------------------------------------------------------------

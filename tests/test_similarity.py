@@ -63,7 +63,7 @@ def test_lsh_bucket_is_sign_pattern(spark):
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     emb, vecs = _emb(spark)
     planes = [[round(float(x), 6) for x in row] for row in np.array(similarity.hyperplanes(dim=DIM))]
-    out = similarity.lsh_topk(emb, [0], k=5, planes=planes).collect()
+    out = similarity.lsh_topk(emb, [0], k=5, planes=planes, probe_hamming=1).collect()
     # every returned neighbor sits within the probe radius (Hamming <= 1
     # sign-bit flips of the query's bucket) and cosine is exact
     buckets = {r.vec_id: r.bucket for r in similarity.with_lsh_bucket(emb, planes).collect()}
@@ -115,3 +115,123 @@ def test_ivf_topk_probes_nearest_cells(spark):
     for r in out:
         assert assign[r.vec_id] in probe
         assert r.cos == pytest.approx(round(_np_cosine(vecs[0], vecs[r.vec_id]), 6), abs=1e-9)
+
+
+def test_n_planes_for_bucket_size_control():
+    """VERDICT r2 #4: plane count scales with corpus size so the expected
+    bucket population stays ~target instead of growing linearly."""
+    assert similarity.n_planes_for(1_000_000, 256) == 12
+    assert similarity.n_planes_for(512, 256) == 1
+    assert similarity.n_planes_for(0, 256) == 1
+    for n in (10**4, 10**6, 10**8):
+        p = similarity.n_planes_for(n, 256)
+        assert n / (1 << p) <= 256  # bucket population bounded by target
+        assert n / (1 << max(p - 1, 1)) > 256 or p == 1  # and not overshot
+
+
+def test_hyperplanes_prefix_stable():
+    """Widening the plane set keeps the first rows identical, so adaptive
+    plane counts refine existing buckets instead of reshuffling them."""
+    base = similarity.hyperplanes(dim=DIM, n_planes=4)
+    wide = similarity.hyperplanes(dim=DIM, n_planes=10)
+    assert wide[:4] == base
+    assert similarity.hyperplanes(dim=DIM)[:4] == base
+
+
+def test_cosine_dedup_banded_recall(spark):
+    """Banding sign-hashes (MinHash-style) recovers the recall that a
+    single wide sign pattern loses: every all-plane collision is also a
+    per-band collision (superset), and near-dup recall rises sharply."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, DIM)
+    noisy = base + 0.12 * rng.randn(60, DIM)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(60)] + [
+        (int(1000 + i), [float(x) for x in noisy[i]]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    # float32 storage: compute the ground truth on the WIDENED values
+    base32 = base.astype(np.float32).astype(np.float64)
+    noisy32 = noisy.astype(np.float32).astype(np.float64)
+    truth = {
+        (i, 1000 + i)
+        for i in range(60)
+        if round(_np_cosine(base32[i], noisy32[i]), 6) >= 0.95
+    }
+    assert len(truth) >= 30  # the fixture actually contains near-dups
+    planes12 = similarity.hyperplanes(dim=DIM, n_planes=12)
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_dedup_pairs(
+            emb, 0.95, planes=planes12, bands=1
+        ).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_dedup_pairs(
+            emb, 0.95, planes=planes12, bands=4
+        ).collect()
+    }
+    assert single <= banded  # per-band collision is implied by all-plane
+    rec_single = len(single & truth) / len(truth)
+    rec_banded = len(banded & truth) / len(truth)
+    assert rec_banded >= 0.9
+    assert rec_banded > rec_single
+
+
+def test_cosine_dedup_adaptive_planes(spark):
+    """planes=None sizes the plane count from the corpus; returned pairs
+    are still exact-verified."""
+    emb, vecs = _emb(spark)
+    from pyspark.sql import functions as F
+
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    out = similarity.cosine_dedup_pairs(
+        aug, 0.95, bands=4, target_bucket_size=8, dim=DIM
+    ).collect()
+    got = {(r.vec_a, r.vec_b) for r in out}
+    # scaled copies are cos==1 with their original and MUST collide in
+    # every band (identical sign patterns)
+    assert {(i, 100 + i) for i in range(5)} <= got
+    for r in out:
+        a = vecs[r.vec_a % 100]
+        b = vecs[r.vec_b % 100]
+        assert r.cos == pytest.approx(round(_np_cosine(a, b), 6), abs=1e-9)
+        assert r.cos >= 0.95
+
+
+def test_kmeans_centroids_lift_ivf_recall_on_clustered(spark):
+    """VERDICT r2 #2: sampled-kmeans centroids on clustered embeddings
+    lift IVF recall to >= 0.8 at a 25% scan fraction (nprobe 4 of 16)."""
+    from bm25_pagerank_rpi_spark.sources.embeddings_fixture import (
+        synthesize_clustered_embeddings,
+    )
+
+    emb = synthesize_clustered_embeddings(
+        spark, 400, dim=16, n_clusters=8, seed=5
+    ).select("vec_id", "embedding")
+    cents = similarity.kmeans_centroids(emb, n=16, sample=400, iters=10)
+    assert len(cents) == 16 and all(len(c) == 16 for c in cents)
+    for c in cents:
+        assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-3
+    # deterministic: same corpus -> same centroids
+    assert cents == similarity.kmeans_centroids(emb, n=16, sample=400, iters=10)
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, qids, k=10, nprobe=4, cents=cents).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
