@@ -262,16 +262,117 @@ def append_delta_blocks(cat: IndexCatalog, min_doc_int: int) -> None:
     cat.write_manifest(m)
 
 
-def refresh_blocks(cat: IndexCatalog, min_doc_int: int, epsilon: float) -> str:
+DEFAULT_MINOR_COMPACT_GENS = 8
+
+
+def _make_merge_fn(block_size: int, blocks_per_range: int):
+    """Group merger for minor compaction: decode a (term, range_id)
+    group's fragmented blocks, doc-sort, re-encode as densely packed
+    blocks in the base (gen-0) block_id namespace. The (doc, tf, factor)
+    triples pass through UNCHANGED — no re-scoring."""
+    import numpy as np
+    import pandas as pd
+
+    from ..index import codec
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, range_id = key
+        ds, ts, fs = [], [], []
+        for r in pdf.itertuples():
+            d, t, f = codec.decode_block(r)
+            ds.append(d)
+            ts.append(t)
+            fs.append(f)
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        f = np.concatenate(fs)
+        order = np.argsort(d, kind="stable")  # gens hold disjoint doc ranges
+        rows = []
+        for b in codec.blocks_for_term(
+            d[order], t[order], f[order], block_size=block_size,
+            first_block_id=int(range_id) * blocks_per_range,
+        ):
+            b["term"] = term
+            b["range_id"] = int(range_id)
+            b["n_postings"] = b.pop("count")
+            rows.append(b)
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+def minor_compact(cat: IndexCatalog) -> int:
+    """Collapse delta-generation block fragments per (term, range_id)
+    WITHOUT re-scoring (VERDICT r2 #6): every live block was encoded
+    under the same frozen normalizer, so merging is decode + doc-sort +
+    re-encode of identical (doc, tf, factor) triples — scores stay
+    bit-identical (pinned by test_minor_compaction_*). Only groups whose
+    layout actually improves are decoded (more blocks than a dense
+    packing needs); untouched blocks pass through as stored rows. Returns
+    the number of merged groups. The rewrite goes through a temp
+    directory + rename (single-writer ingest model, same as
+    corpus_stats)."""
+    import os
+    import shutil
+
+    from ..plans.index_build import BLOCK_SCHEMA
+
+    n_buckets, block_size, range_rows, _ = _config(cat)
+    blocks_per_range = range_rows // block_size + 1
+    blk = cat.blocks()
+    frag_keys = (
+        blk.groupBy("term", "range_id")
+        .agg(F.count(F.lit(1)).alias("_nb"), F.sum("n_postings").alias("_np"))
+        .filter(F.col("_nb") > F.ceil(F.col("_np") / F.lit(block_size)))
+        .select("term", "range_id")
+    )
+    n_frag = frag_keys.count()
+    if n_frag == 0:
+        return 0
+    frag = blk.join(frag_keys, ["term", "range_id"])
+    keep = blk.join(frag_keys, ["term", "range_id"], "left_anti")
+    merged = (
+        frag.groupBy("term", "range_id")
+        .applyInPandas(_make_merge_fn(block_size, blocks_per_range), BLOCK_SCHEMA)
+        .withColumn("bucket", term_bucket("term", n_buckets))
+    )
+    out = keep.select(*merged.columns).unionByName(merged)
+    tmp = cat.path("blocks") + "._compacting"
+    out.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    final = cat.path("blocks")
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    _refresh_terms(cat, n_buckets)
+    m = cat.read_manifest()
+    m["delta_gens"] = 0
+    m.setdefault("encodes", []).append({"type": "minor", "merged_groups": n_frag})
+    cat.write_manifest(m)
+    return n_frag
+
+
+def refresh_blocks(
+    cat: IndexCatalog,
+    min_doc_int: int,
+    epsilon: float,
+    minor_compact_after: int = DEFAULT_MINOR_COMPACT_GENS,
+) -> str:
     """Epsilon-gated encode step after an ingest run: delta-append while
     the frozen normalizer is within ``epsilon`` relative drift of the
-    true avg_doc_length, full compaction otherwise. Returns the action
-    taken ("delta" or "full")."""
+    true avg_doc_length, full compaction otherwise; after
+    ``minor_compact_after`` accumulated delta generations the fragments
+    are merged in place (pure block merge under the frozen normalizer —
+    see :func:`minor_compact`). Returns the action taken ("delta",
+    "delta+minor", or "full")."""
     m = cat.read_manifest()
     frozen = m.get("encode_avgdl")
     _, avgdl = cat.scalar_stats()
     if frozen is not None and abs(avgdl - float(frozen)) <= epsilon * float(frozen):
         append_delta_blocks(cat, min_doc_int)
+        if int(cat.read_manifest().get("delta_gens", 0)) >= minor_compact_after:
+            minor_compact(cat)
+            return "delta+minor"
         return "delta"
     compact(cat)
     return "full"
@@ -284,6 +385,7 @@ def run_incremental_build(
     checkpoint_dir: str,
     n_buckets: int = 32,
     avgdl_epsilon: float = DEFAULT_AVGDL_EPSILON,
+    minor_compact_after: int = DEFAULT_MINOR_COMPACT_GENS,
 ) -> IndexCatalog:
     """Ingest all currently-available transcript files (AvailableNow),
     appending segments per micro-batch, then refresh blocks once at the
@@ -310,5 +412,5 @@ def run_incremental_build(
     )
     q.awaitTermination()
     if appended["n"]:
-        refresh_blocks(cat, run_base, avgdl_epsilon)
+        refresh_blocks(cat, run_base, avgdl_epsilon, minor_compact_after)
     return cat

@@ -238,3 +238,63 @@ def test_epsilon_gated_delta_append_and_compaction(spark, tmp_path):
     assert got3.keys() == full.keys()
     for k_, v in full.items():
         assert got3[k_] == pytest.approx(v, abs=1e-12)
+
+
+def test_minor_compaction_merges_fragments_bit_identical(spark, tmp_path):
+    """VERDICT r2 #6: delta generations accumulate block fragments per
+    (term, range); minor compaction merges them under the FROZEN
+    normalizer — block count collapses, scores stay bit-identical
+    (single-term query compared with ==, multi-term within the suite's
+    1e-12 epsilon), and the gen counter resets."""
+    from bm25_pagerank_rpi_spark.streaming.incremental import minor_compact
+
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    eps = 10.0  # never full-compact after the first run
+
+    _write_batch(spark, in_dir, BATCH1)
+    cat = run_incremental_build(spark, in_dir, idx, ckpt, n_buckets=4, avgdl_epsilon=eps)
+    for j in range(3):  # three delta generations fragment shared terms
+        _write_batch(
+            spark, in_dir,
+            [(f"d{j}", 0, "hash table spark delta"),
+             (f"d{j}", 1, f"hash merge gen{j}")],
+        )
+        cat = run_incremental_build(
+            spark, in_dir, idx, ckpt, n_buckets=4, avgdl_epsilon=eps
+        )
+    m = cat.read_manifest()
+    assert m["delta_gens"] == 3
+    blocks_before = cat.blocks().count()
+    q1 = spark.createDataFrame([("q1", "hash")], "query_id string, text string")
+    q2 = _queries(spark)  # multi-term
+    s1_before = {(r.doc_id, r.rank): r.bm25 for r in wand.wand_topk(cat, q1, k=20).collect()}
+    s2_before = {(r.doc_id, r.rank): r.bm25 for r in wand.wand_topk(cat, q2, k=20).collect()}
+
+    merged = minor_compact(cat)
+    assert merged > 0
+    assert cat.blocks().count() < blocks_before
+    m = cat.read_manifest()
+    assert m["delta_gens"] == 0
+    assert m["encodes"][-1]["type"] == "minor"
+
+    s1_after = {(r.doc_id, r.rank): r.bm25 for r in wand.wand_topk(cat, q1, k=20).collect()}
+    assert s1_after == s1_before  # bit-identical: same (doc, tf, factor)
+    s2_after = {(r.doc_id, r.rank): r.bm25 for r in wand.wand_topk(cat, q2, k=20).collect()}
+    assert s2_after.keys() == s2_before.keys()
+    for k_, v in s2_before.items():
+        assert s2_after[k_] == pytest.approx(v, abs=1e-12)
+
+    # a second minor compaction is a no-op (already densely packed)
+    assert minor_compact(cat) == 0
+
+    # the trigger path: gen counter reaching the threshold compacts inline
+    _write_batch(spark, in_dir, [("t0", 0, "hash trigger")])
+    cat = run_incremental_build(
+        spark, in_dir, idx, ckpt, n_buckets=4, avgdl_epsilon=eps,
+        minor_compact_after=1,
+    )
+    m = cat.read_manifest()
+    assert m["delta_gens"] == 0
+    assert m["encodes"][-1]["type"] == "minor"
