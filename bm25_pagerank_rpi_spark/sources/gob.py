@@ -308,3 +308,211 @@ def read_documents_gob(spark: SparkSession, paths: str | list[str]) -> DataFrame
             if isinstance(value, list):  # Documents slice
                 rows.extend(_doc_row(d) for d in value)
     return spark.createDataFrame(rows, DOCUMENTS_GOB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# write side: encode Documents back to the reference's .gob dump format
+# ---------------------------------------------------------------------------
+
+# the exact type graph the reference's saveData emits
+# (/root/reference/internal/ranking/io.go:14-46 via gob.NewEncoder on a
+# Documents value; struct shapes per internal/ranking/types.go). Ids and
+# DEFINITION ORDER replicate an actual reference fixture stream, so our
+# own reader — and Go's decoder, which follows the same documented wire
+# format — accept the output.
+_GO_FEATURE_FIELDS = [
+    ("CoveredQueryTermNumber", _INT), ("CoveredQueryTermRatio", _FLOAT),
+    ("SumTermFrequency", _INT), ("MinTermFrequency", _INT),
+    ("MaxTermFrequency", _INT), ("MeanTermFrequency", _FLOAT),
+    ("VarianceTermFrequency", _FLOAT), ("StreamLength", _INT),
+    ("SumStreamLengthNormalizedTF", _FLOAT),
+    ("MinStreamLengthNormalizedTF", _FLOAT),
+    ("MaxStreamLengthNormalizedTF", _FLOAT),
+    ("MeanStreamLengthNormalizedTF", _FLOAT),
+    ("VarianceStreamLengthNormalizedTF", _FLOAT),
+    ("SumTFIDF", _FLOAT), ("MinTFIDF", _FLOAT), ("MaxTFIDF", _FLOAT),
+    ("MeanTFIDF", _FLOAT), ("VarianceTFIDF", _FLOAT), ("BM25", _FLOAT),
+    ("NumSlashesInURL", _INT), ("LengthOfURL", _INT), ("InlinkCount", _INT),
+    ("OutlinkCount", _INT), ("PageRank", _FLOAT),
+]
+
+_GO_TYPES: dict[int, tuple[str, dict]] = {
+    68: ("Documents", {"kind": "slice", "elem": 64}),
+    64: ("Document", {"kind": "struct", "fields": [
+        ("DocID", _STRING), ("Rank", _INT), ("Metadata", 65),
+        ("TermFrequencies", 66), ("Features", 67),
+    ]}),
+    65: ("DocumentMetadata", {"kind": "struct", "fields": [
+        ("DocLength", _INT), ("TimeLastUpdated", _STRING),
+        ("FileType", _STRING), ("ImageCount", _INT),
+        ("DocTitle", _STRING), ("URL", _STRING),
+    ]}),
+    66: ("map[string]int", {"kind": "map", "key": _STRING, "elem": _INT}),
+    67: ("Features", {"kind": "struct", "fields": _GO_FEATURE_FIELDS}),
+}
+_GO_DEF_ORDER = [68, 64, 65, 66, 67]
+
+
+class GobEncoder:
+    """Encoder mirror of :class:`GobDecoder` for the reference's
+    ``Documents`` dump — the S8 write-side twin, so example files can be
+    fed BACK to the reference's Go trainer
+    (internal/datagen/data_loader.go:44-67). Pinned by a byte/value
+    round-trip test against all four reference fixtures."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.types: dict[int, dict] = dict(_BOOTSTRAP)
+        for tid, (_name, desc) in _GO_TYPES.items():
+            self.types[tid] = desc
+
+    # -- scalars --------------------------------------------------------------
+    @staticmethod
+    def uint_bytes(v: int) -> bytes:
+        if v < 0x80:
+            return bytes([v])
+        b = v.to_bytes((v.bit_length() + 7) // 8, "big")
+        return bytes([256 - len(b)]) + b
+
+    @classmethod
+    def int_bytes(cls, v: int) -> bytes:
+        u = (v << 1) if v >= 0 else ((~v << 1) | 1)
+        return cls.uint_bytes(u)
+
+    @classmethod
+    def float_bytes(cls, v: float) -> bytes:
+        u = int.from_bytes(_struct.pack("<d", float(v)), "big")
+        return cls.uint_bytes(u)
+
+    @classmethod
+    def string_bytes(cls, s: str) -> bytes:
+        b = s.encode("utf-8")
+        return cls.uint_bytes(len(b)) + b
+
+    # -- values ---------------------------------------------------------------
+    def _is_zero(self, typeid: int, v: Any) -> bool:
+        if v is None:
+            return True
+        if typeid == _BOOL:
+            return not v
+        if typeid in (_INT, _UINT):
+            return v == 0
+        if typeid == _FLOAT:
+            return v == 0.0
+        if typeid in (_BYTES, _STRING):
+            return len(v) == 0
+        t = self.types[typeid]
+        if t["kind"] == "struct":
+            return all(self._is_zero(fid, v.get(name)) for name, fid in t["fields"])
+        return len(v) == 0  # slice/array/map: empty is zero
+
+    def value_bytes(self, typeid: int, v: Any) -> bytes:
+        if typeid == _BOOL:
+            return self.uint_bytes(1 if v else 0)
+        if typeid == _INT:
+            return self.int_bytes(int(v))
+        if typeid == _UINT:
+            return self.uint_bytes(int(v))
+        if typeid == _FLOAT:
+            return self.float_bytes(v)
+        if typeid == _BYTES:
+            return self.uint_bytes(len(v)) + bytes(v)
+        if typeid == _STRING:
+            return self.string_bytes(v)
+        t = self.types[typeid]
+        kind = t["kind"]
+        if kind == "struct":
+            out = bytearray()
+            prev = -1
+            for idx, (name, fid) in enumerate(t["fields"]):
+                fv = (v or {}).get(name)
+                if fv is None or self._is_zero(fid, fv):
+                    continue  # gob omits zero-valued fields
+                out += self.uint_bytes(idx - prev)
+                out += self.value_bytes(fid, fv)
+                prev = idx
+            out += self.uint_bytes(0)  # terminator
+            return bytes(out)
+        if kind in ("slice", "array"):
+            out = bytearray(self.uint_bytes(len(v)))
+            for item in v:
+                out += self.value_bytes(t["elem"], item)
+            return bytes(out)
+        if kind == "map":
+            # deterministic key order (Go's map order is random per run;
+            # any order decodes identically)
+            out = bytearray(self.uint_bytes(len(v)))
+            for k in sorted(v):
+                out += self.value_bytes(t["key"], k)
+                out += self.value_bytes(t["elem"], v[k])
+            return bytes(out)
+        raise ValueError(f"cannot encode kind {kind}")
+
+    # -- messages -------------------------------------------------------------
+    def _message(self, payload: bytes) -> None:
+        self.out += self.uint_bytes(len(payload)) + payload
+
+    def _wire_def(self, typeid: int) -> dict:
+        name, desc = _GO_TYPES[typeid]
+        common = {"Name": name, "Id": typeid}
+        if desc["kind"] == "struct":
+            return {"StructT": {
+                "CommonType": common,
+                "Field": [{"Name": n, "Id": fid} for n, fid in desc["fields"]],
+            }}
+        if desc["kind"] == "slice":
+            return {"SliceT": {"CommonType": common, "Elem": desc["elem"]}}
+        if desc["kind"] == "map":
+            return {"MapT": {
+                "CommonType": common, "Key": desc["key"], "Elem": desc["elem"],
+            }}
+        raise ValueError(desc["kind"])
+
+    def encode_documents(self, docs: list[dict]) -> bytes:
+        """One gob stream holding one ``Documents`` value — the decoded
+        shape ``decode_gob`` returns (list of Document dicts)."""
+        for tid in _GO_DEF_ORDER:
+            self._message(
+                self.int_bytes(-tid) + self.value_bytes(_WIRE_TYPE, self._wire_def(tid))
+            )
+        # non-struct top-level value: zero field-delta precedes the value
+        self._message(
+            self.int_bytes(68) + self.uint_bytes(0) + self.value_bytes(68, docs)
+        )
+        return bytes(self.out)
+
+
+def encode_documents_gob(docs: list[dict], path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(GobEncoder().encode_documents(docs))
+
+
+def write_documents_gob(df: DataFrame, path: str) -> None:
+    """Inverse of :func:`read_documents_gob`: a DataFrame in the engine's
+    feature-vector schema (DOCUMENTS_GOB_SCHEMA column names; extra
+    columns ignored, missing ones default to zero) becomes one reference
+    ``examples_*.gob`` dump. Driver-side like the reader — the reference
+    emits one modest file per query (ranker.go:60), not a distributed
+    table; shard per query upstream for many files."""
+    cols = set(df.columns)
+    docs = []
+    for r in df.collect():
+        d = r.asDict()
+        feats = {
+            go: (float(d.get(col, 0) or 0) if col_go_is_float(go) else int(d.get(col, 0) or 0))
+            for col, go in _FEATURE_MAP
+        }
+        meta = {
+            "DocLength": int(d.get("doc_length", 0) or 0),
+            "URL": d.get("url", "") or "",
+        }
+        doc = {
+            "DocID": d.get("doc_id", "") or "",
+            "Rank": int(d.get("rank", 0) or 0),
+            "Metadata": meta,
+            "TermFrequencies": d.get("term_frequencies", {}) or {},
+            "Features": feats,
+        }
+        docs.append(doc)
+    _ = cols
+    encode_documents_gob(docs, path)

@@ -60,3 +60,50 @@ def test_gob_scalar_roundtrip_encoding():
     # float 17.0 = IEEE 0x4031000000000000, byte-reversed -> 0x1031.. -> two bytes
     d = gob.GobDecoder(bytes([0xFE, 0x31, 0x40]))
     assert d.read_float() == 17.0
+
+
+@pytest.mark.skipif(not FIXTURES, reason="reference fixtures not present")
+def test_encoder_roundtrip_reference_fixtures():
+    """Write side (S8 twin): re-encoding a decoded fixture produces a
+    stream OUR decoder — which follows Go's documented wire format —
+    decodes back to identical values. Byte-identity with the original is
+    not required (gob map-key order is random per Go run; we sort), but
+    a second encode of our own output IS byte-stable (deterministic)."""
+    for p in FIXTURES:
+        (docs,) = gob.decode_gob(p)
+        blob = gob.GobEncoder().encode_documents(docs)
+        redecoded = gob.GobDecoder(blob).decode()
+        assert redecoded == [docs]
+        assert gob.GobEncoder().encode_documents(docs) == blob
+
+
+def test_encoder_zero_field_omission_and_scalars():
+    """gob omits zero-valued struct fields; uint/int/float wire forms per
+    the encoding/gob spec."""
+    enc = gob.GobEncoder
+    assert enc.uint_bytes(0x7F) == bytes([0x7F])
+    assert enc.uint_bytes(0x80) == bytes([0xFF, 0x80])
+    assert enc.int_bytes(-1) == bytes([0x01])
+    assert enc.int_bytes(1) == bytes([0x02])
+    doc = {"DocID": "", "Rank": 0, "Metadata": {}, "TermFrequencies": {},
+           "Features": {}}
+    blob = gob.GobEncoder().encode_documents([doc])
+    (back,) = gob.GobDecoder(blob).decode()
+    # all-zero doc round-trips to the decoder's zero values
+    assert back[0]["DocID"] == "" and back[0]["Rank"] == 0
+    assert back[0]["Features"]["BM25"] == 0.0
+
+
+@pytest.mark.skipif(not FIXTURES, reason="reference fixtures not present")
+def test_write_documents_gob_dataframe_roundtrip(spark, tmp_path):
+    """DataFrame -> .gob -> DataFrame closes the loop: a feature table in
+    the engine's schema becomes a file the reference's Go trainer loads
+    (internal/datagen/data_loader.go:44-67), and reading it back yields
+    the same rows."""
+    df = gob.read_documents_gob(spark, FIXTURES[0])
+    out = str(tmp_path / "examples_rt.gob")
+    gob.write_documents_gob(df, out)
+    back = gob.read_documents_gob(spark, out)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
