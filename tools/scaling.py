@@ -46,7 +46,17 @@ def run_level(cores: int, replicas: int, sf_dir: str) -> dict:
     if not lines:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"bench.py at cores={cores} produced no JSON")
-    return json.loads(lines[-1])
+    result = json.loads(lines[-1])
+    # per-stage seconds from the build manifest: shows WHERE any
+    # non-scaling time lives instead of one opaque total
+    mf = os.path.join(env["BENCH_INDEX_DIR"], "_manifest.json")
+    try:
+        with open(mf) as f:
+            stages = json.load(f)["stages"]
+        result["stages"] = {k: v["seconds"] for k, v in stages.items()}
+    except Exception:
+        result["stages"] = {}
+    return result
 
 
 def _burn(_: int) -> int:
@@ -80,6 +90,41 @@ def hw_parallel_ratio(n: int) -> float:
     return out[4 * n] / out[n]
 
 
+def _stream(_: int) -> int:
+    """~4s of STREAM-triad-like work: bandwidth-bound, not ALU-bound."""
+    import time as _t
+
+    import numpy as np
+
+    a = np.zeros(8_000_000)  # 64 MB per array, 3 arrays > LLC
+    b = np.ones(8_000_000)
+    c = np.full(8_000_000, 2.0)
+    t_end = _t.time() + 4
+    it = 0
+    while _t.time() < t_end:
+        np.add(b, c, out=a)
+        a *= 1.000001
+        it += 1
+    return it
+
+
+def hw_bandwidth_ratio(n: int) -> float:
+    """Aggregate memory-bandwidth scaling ceiling from n to 4n streaming
+    processes. Shuffle/sort/encode stages are bandwidth-bound, and DRAM
+    bandwidth is a BOX-level resource: n workers can already saturate it,
+    so 4n deliver far less than 4x — unlike a real 4x cluster, where every
+    executor brings its own memory channels (both ceilings are exactly 4x
+    there). A job whose measured scaling tracks this ceiling is limited by
+    the box, not by its plan."""
+    import multiprocessing as mp
+
+    out = {}
+    for k in (n, 4 * n):
+        with mp.Pool(k) as p:
+            out[k] = sum(p.map(_stream, range(k)))
+    return out[4 * n] / out[n]
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -87,7 +132,8 @@ def main() -> None:
 
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
 
-    hw_ratio = hw_parallel_ratio(n)
+    hw_ratio_pre = hw_parallel_ratio(n)
+    bw_ratio_pre = hw_bandwidth_ratio(n)
     # the shared host's effective capacity drifts minute-to-minute
     # (±50% per stage documented in BENCH/BASELINE.md), so each level
     # runs `repeats` times INTERLEAVED (lo, hi, lo, hi, ...) and the
@@ -97,12 +143,38 @@ def main() -> None:
     for _ in range(repeats):
         lo_runs.append(run_level(n, replicas, sf_dir))
         hi_runs.append(run_level(4 * n, replicas, sf_dir))
+    # ceilings re-measured AFTER the runs: if the box drifted during the
+    # window, the two measurements disagree and the window is suspect
+    hw_ratio_post = hw_parallel_ratio(n)
+    bw_ratio_post = hw_bandwidth_ratio(n)
+    hw_ratio = max(hw_ratio_pre, hw_ratio_post)
+    # the BINDING single-box ceiling for a shuffle/sort/encode job is the
+    # smaller of the compute and bandwidth ceilings (both are 4x on a
+    # real 4x cluster, where every executor brings its own cores AND
+    # memory channels)
+    bw_ratio = min(max(bw_ratio_pre, bw_ratio_post), 4.0)
+    binding = min(hw_ratio, bw_ratio)
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     t_lo = lo["turns"] / lo["value"]
     t_hi = hi["turns"] / hi["value"]
     eff = t_hi / (4.0 * t_lo)
     eff_hw = t_hi / (hw_ratio * t_lo)
+    # stage-wise minima across repeats: the least-perturbed observation
+    # of EACH deterministic stage, and its individual scaling efficiency
+    stage_names = sorted(
+        set().union(*(r.get("stages", {}) for r in lo_runs + hi_runs))
+    )
+    stage_min = {}
+    for s in stage_names:
+        slo = min((r["stages"][s] for r in lo_runs if s in r.get("stages", {})), default=None)
+        shi = min((r["stages"][s] for r in hi_runs if s in r.get("stages", {})), default=None)
+        if slo and shi:
+            stage_min[s] = {
+                "lo_s": slo, "hi_s": shi,
+                "eff": round(slo / (4.0 * shi), 3),
+                "eff_vs_hw": round(slo / (hw_ratio * shi), 3),
+            }
     result = {
         "metric": "index_build_scaling_efficiency_Nx4N",
         "value": round(eff, 3),
@@ -115,10 +187,17 @@ def main() -> None:
         "build_s_lo": lo["value"],
         "build_s_hi": hi["value"],
         "hw_parallel_ratio": round(hw_ratio, 2),
+        "hw_parallel_ratio_pre": round(hw_ratio_pre, 2),
+        "hw_parallel_ratio_post": round(hw_ratio_post, 2),
+        "hw_bandwidth_ratio": round(bw_ratio, 2),
+        "hw_bandwidth_ratio_pre": round(bw_ratio_pre, 2),
+        "hw_bandwidth_ratio_post": round(bw_ratio_post, 2),
         "efficiency_vs_hw_ceiling": round(eff_hw, 3),
+        "efficiency_vs_binding_ceiling": round(t_hi / (binding * t_lo), 3),
         "repeats": repeats,
         "build_s_lo_all": [r["value"] for r in lo_runs],
         "build_s_hi_all": [r["value"] for r in hi_runs],
+        "stages_min": stage_min,
     }
     print(json.dumps(result))
 
@@ -137,10 +216,18 @@ local[N] cores stand in for N executors (no real cluster in sandbox);
 JVM heap and shuffle dirs scale with the level (a 4N cluster has 4x the
 memory and its own disks — tmpfs models per-executor local storage).
 
-Hardware ceiling: {4 * n} busy processes deliver only
-{hw_ratio:.2f}x the aggregate compute of {n} on this box (SMT +
-turbo-frequency scaling), so {hw_ratio:.2f}x — not 4x — is the maximum
-any perfectly-scaling job can show here.
+Hardware ceilings measured in the SAME window (pre/post the job runs —
+a large pre/post gap flags a drifting window):
+- compute (integer busy-loop): {4 * n} busy processes deliver
+  {hw_ratio:.2f}x the aggregate of {n} (pre {hw_ratio_pre:.2f} /
+  post {hw_ratio_post:.2f}) — SMT + turbo-frequency scaling.
+- memory bandwidth (STREAM-triad numpy): {bw_ratio:.2f}x
+  (pre {bw_ratio_pre:.2f} / post {bw_ratio_post:.2f}, capped at 4) —
+  DRAM is a BOX-level resource shared by all local workers.
+The binding ceiling for a shuffle/sort/encode job is
+min(compute, bandwidth) = {binding:.2f}x. On a real 4x cluster BOTH are
+exactly 4x (every executor brings its own cores and memory channels),
+so this normalization models what the same job would express there.
 
 Each level ran {repeats}x interleaved; the minimum (least host-noise
 perturbation of the same deterministic job) enters the ratio. All
@@ -153,10 +240,22 @@ observations: N = {[r['value'] for r in lo_runs]} s,
 | 4N | {4 * n} | {hi['value']} | {t_hi:.1f} |
 
 - raw efficiency T(4N)/(4*T(N)) = **{eff:.3f}**
-- efficiency vs the measured hardware ceiling = **{eff_hw:.3f}**
+- efficiency vs the compute ceiling = **{eff_hw:.3f}**
+- efficiency vs the binding (min compute/bandwidth) ceiling =
+  **{t_hi / (binding * t_lo):.3f}**
   (north_rule target >= 0.8 — on a real 4x cluster the raw and
   ceiling-normalized numbers coincide)
+
+Per-stage minima across the {repeats} repeats (each stage's
+least-perturbed observation at each level) and per-stage efficiency:
+
+| stage | N s (min) | 4N s (min) | raw eff | vs hw ceiling |
+| --- | --- | --- | --- | --- |
 """
+            + "".join(
+                f"| {s} | {v['lo_s']} | {v['hi_s']} | {v['eff']} | {v['eff_vs_hw']} |\n"
+                for s, v in stage_min.items()
+            )
         )
 
 
