@@ -39,7 +39,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import MAX_DOCUMENTS
@@ -48,6 +48,7 @@ from ..sources.catalog import IndexCatalog
 from . import scorer
 
 WAND_SCHEMA = "query_id string, doc_int long, bm25 double"
+RANKED_SCHEMA = "query_id string, doc_int long, bm25 double, rank int"
 
 # guard for the corpus-global tail shard: a query touching more tail terms
 # than this sub-shards them by term hash, so a 1,000-term query's tail work
@@ -197,6 +198,37 @@ def _make_wand_fn(k: int, slack: dict[str, tuple[float, float]]):
         return pd.DataFrame(
             {"query_id": query_id, "doc_int": docs, "bm25": scores}
         )
+
+    return fn
+
+
+def _make_merge_topk_fn(k: int):
+    """Final merge for one query: sum per-doc partials across shards
+    (contributions are disjoint by construction), rank by (bm25 desc,
+    doc_int asc), keep top-k. One pandas group per query replaces the
+    previous sum-aggregate + row_number window — one shuffle instead of
+    two, at the same concentration point (the window's
+    partitionBy(query_id) already gathered every candidate of a query
+    into one task). Input volume is bounded by #probed shards * k +
+    tail-shard postings."""
+
+    # full type hints: pyspark's group_ops inspects the signature and
+    # emits a UserWarning per run when they are missing
+    def fn(key: tuple[str], pdf: pd.DataFrame) -> pd.DataFrame:
+        (query_id,) = key
+        summed = pdf.groupby("doc_int", as_index=False)["bm25"].sum()
+        summed = summed.sort_values(
+            ["bm25", "doc_int"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out = pd.DataFrame(
+            {
+                "query_id": query_id,
+                "doc_int": summed["doc_int"].to_numpy(),
+                "bm25": summed["bm25"].to_numpy(),
+                "rank": np.arange(1, len(summed) + 1, dtype=np.int32),
+            }
+        )
+        return out
 
     return fn
 
@@ -386,12 +418,8 @@ def _execute_plan(
     # tail shard(s); contributions are disjoint by construction (each
     # term's postings live in exactly one shard), so summing partials
     # reconstructs the exact BM25 before the top-k merge
-    result = partial.groupBy("query_id", "doc_int").agg(
-        F.sum("bm25").alias("bm25")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_int"))
-    ranked = result.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    ranked = partial.groupBy("query_id").applyInPandas(
+        _make_merge_topk_fn(k), RANKED_SCHEMA
     )
     return ranked.join(meta, "doc_int").select(
         "query_id", "doc_id", "doc_int", "bm25", "rank"
