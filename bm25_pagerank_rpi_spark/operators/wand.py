@@ -454,8 +454,28 @@ class WandSession:
         cat: IndexCatalog,
         preload_blocks: bool = True,
         driver_stats: bool = True,
+        low_latency: bool = True,
     ):
         self.cat = cat
+        # serving tunables, restored at close(): the session defaults are
+        # build-sized (AQE on, initialPartitionNum = cores*16), so every
+        # per-query shuffle plans hundreds of partitions plus an AQE
+        # re-plan barrier — pure scheduling latency, since serving
+        # shuffles carry only per-shard partial top-k rows. One wave of
+        # tasks (shuffle.partitions = total cores) is the latency-optimal
+        # width for a dedicated serving cluster.
+        self._saved_conf: dict[str, str] = {}
+        if low_latency:
+            spark = cat.spark
+            for key, val in (
+                ("spark.sql.adaptive.enabled", "false"),
+                (
+                    "spark.sql.shuffle.partitions",
+                    str(spark.sparkContext.defaultParallelism),
+                ),
+            ):
+                self._saved_conf[key] = spark.conf.get(key)
+                spark.conf.set(key, val)
         self.meta = cat.doc_meta().select("doc_int", "doc_id").persist()
         self._preloaded = preload_blocks
         if preload_blocks:
@@ -519,6 +539,8 @@ class WandSession:
         self.meta.unpersist()
         if self._preloaded:
             self.blocks.unpersist()
+        for key, val in self._saved_conf.items():
+            self.cat.spark.conf.set(key, val)
 
     def __enter__(self) -> "WandSession":
         return self
