@@ -80,10 +80,15 @@ def train(
     """E3: examples -> trained model -> confusion + accuracy.
 
     ``model``: "lr" = M1 logistic regression (+optional M3 CV over
-    ``cv_grid``); "mlp" = the M4 neural stand-in
-    (:func:`..operators.ltr.train_pairwise_mlp` — the reference's Torch
-    residual MLP role, training/train.py:10-84, re-expressed as MLlib's
-    feed-forward softmax classifier).
+    ``cv_grid``); "residual_mlp" = M4 with the reference's exact
+    architecture (six residual blocks, GELU/LayerNorm/BatchNorm/Dropout,
+    AdamW + label smoothing + plateau schedule, training/nn_model.py:4-39,
+    train.py:10-84) implemented in numpy —
+    :func:`..operators.residual_mlp.fit_residual_reranker`: scaler stats
+    and inference distributed, gradient loop driver-side like the
+    reference's single-node trainer; "mlp" = the lighter MLlib
+    feed-forward stand-in (:func:`..operators.ltr.train_pairwise_mlp`),
+    trained fully distributed via L-BFGS.
 
     ``test_frac`` > 0 holds out a seeded random split and reports
     ``test_accuracy`` separately (the reference reports held-out test
@@ -105,17 +110,30 @@ def train(
         train_df, test_df = df.randomSplit([1.0 - test_frac, test_frac], seed=seed)
     else:
         train_df, test_df = df, None
-    if model == "mlp":
-        fitted = ltr.train_pairwise_mlp(train_df, fcols, seed=seed)
-    else:
-        fitted = ltr.train_pairwise_lr(train_df, fcols, cv_grid=cv_grid)
-    if model_dir:
-        fitted.write().overwrite().save(model_dir)
+    if model == "residual_mlp":
+        from ..operators.residual_mlp import fit_residual_reranker
 
-    def _score(part: DataFrame) -> DataFrame:
-        return fitted.transform(
-            part.withColumn("_y", ((F.col("label") + 1) / 2).cast("double"))
-        ).withColumn("pred_label", (F.col("prediction") * 2 - 1).cast("int"))
+        fitted, _hist = fit_residual_reranker(train_df, fcols, seed=seed)
+        if model_dir:
+            fitted.save(f"{model_dir}/residual_mlp.npz")
+
+        def _score(part: DataFrame) -> DataFrame:
+            return fitted.transform(part).withColumn(
+                "pred_label", (F.col("prediction") * 2 - 1).cast("int")
+            )
+
+    else:
+        if model == "mlp":
+            fitted = ltr.train_pairwise_mlp(train_df, fcols, seed=seed)
+        else:
+            fitted = ltr.train_pairwise_lr(train_df, fcols, cv_grid=cv_grid)
+        if model_dir:
+            fitted.write().overwrite().save(model_dir)
+
+        def _score(part: DataFrame) -> DataFrame:
+            return fitted.transform(
+                part.withColumn("_y", ((F.col("label") + 1) / 2).cast("double"))
+            ).withColumn("pred_label", (F.col("prediction") * 2 - 1).cast("int"))
 
     scored = _score(train_df)
     cm_df = ltr.confusion_matrix(scored, label_col="label", pred_col="pred_label")

