@@ -57,15 +57,19 @@ def _r(col, n: int = 6):
 # empty-token filtering == the T1 whitespace-run tokenizer on this data.
 # ---------------------------------------------------------------------------
 
-def _qterms_values() -> str:
-    return ", ".join(f"({i}, '{t}')" for i, t in enumerate(QUERY_TERMS))
+def _qterms_values(terms: list[str]) -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
 
 
-SQL_SKELETON = f"""
+def _sql_skeleton(terms: list[str], where: str = "") -> str:
+    """The scoring-CTE skeleton over ``documents``, parameterized by query
+    terms and an optional source predicate (pushed into BOTH corpus scans,
+    mirroring the Spark side's filtered-docs relation)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, t.term
   FROM documents, unnest(string_split(text, ' ')) AS t(term)
-  WHERE t.term <> ''
+  WHERE t.term <> '' {("AND " + where) if where else ""}
 ),
 doc_tf AS (
   SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
@@ -75,12 +79,13 @@ doc_len AS (
          CASE WHEN trim(text) = '' THEN 0
               ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
   FROM documents
+  {("WHERE " + where) if where else ""}
 ),
 stats AS (
   SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
 ),
 qterms AS (
-  SELECT * FROM (VALUES {_qterms_values()}) AS v(pos, term)
+  SELECT * FROM (VALUES {_qterms_values(terms)}) AS v(pos, term)
 ),
 term_df AS (
   SELECT term, count(DISTINCT doc_id) AS df
@@ -140,6 +145,9 @@ perdoc AS (
   GROUP BY doc_id
 )
 """
+
+
+SQL_SKELETON = _sql_skeleton(QUERY_TERMS)
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +506,124 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_quantity") - F.col("b.l_quantity")).alias("rel_diff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search — positional exact-adjacency match ranked with the phrase as
+# a single BM25 pseudo-term (operators/phrase.py; the positions the reference
+# stores but never consumes, types.go:92-96). Ranks on the 6-dp-rounded score
+# like the other top-k pairs so tie-breaks are engine-portable.
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ["table", "hash"]
+
+ORACLE_PHRASE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(t) AS doc_length,
+         CASE WHEN len(t) >= 2 THEN
+           len(list_filter(range(1, len(t)),
+               i -> t[i] = '{PHRASE_TERMS[0]}' AND t[i+1] = '{PHRASE_TERMS[1]}'))
+         ELSE 0 END AS phrase_tf
+  FROM toks
+),
+stats AS (SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM m),
+matched AS (SELECT * FROM m WHERE phrase_tf > 0),
+pdf AS (SELECT count(*) AS phrase_df FROM matched),
+scored AS (
+  SELECT doc_id, phrase_tf,
+         round(ln(doc_count::DOUBLE / (phrase_df + 1)) * (phrase_tf * {K1 + 1.0}) /
+               (phrase_tf + {K1} * ({1.0 - B} + {B} * (doc_length / avg_doc_length))),
+               6) AS bm25
+  FROM matched CROSS JOIN stats CROSS JOIN pdf
+)
+SELECT doc_id, phrase_tf, bm25, rank FROM (
+  SELECT doc_id, phrase_tf, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+@register("phrase_topk", ORACLE_PHRASE)
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators import phrase
+
+    out = phrase.phrase_topk(_docs(spark, sf_dir), PHRASE_TERMS, k=10**9)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        out.select("doc_id", "phrase_tf", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive (AND) retrieval — candidates must contain EVERY query term;
+# rank by BM25. The covered-term machinery (A8) already computes the gate:
+# ratio == 1.0 is exact (covered/n_terms with covered == n_terms).
+# ---------------------------------------------------------------------------
+
+AND_QUERY_TEXT = "hash join table"
+
+ORACLE_CONJUNCTIVE = _sql_skeleton(AND_QUERY_TEXT.split()) + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+  WHERE covered_query_term_number = n_terms
+) WHERE rank <= 20
+"""
+
+
+@register("bm25_conjunctive_topk", ORACLE_CONJUNCTIVE)
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    qdf = spark.createDataFrame(
+        [("q1", AND_QUERY_TEXT)], "query_id string, text string"
+    )
+    sc = (
+        scorer.score_candidates(
+            scorer.doc_term_frequencies(docs), dlen,
+            scorer.corpus_stats(dlen), qdf,
+        )
+        .filter(F.col("covered_query_term_ratio") == 1.0)
+        .select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    )
+    return scorer.topk(sc, 20).select("doc_id", "bm25", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Field-filtered retrieval — BM25 over a metadata-predicated sub-corpus
+# (lang = 'en'); the predicate pushes into the parquet scan on the Spark
+# side (PushedFilters), and corpus stats (N, avgdl) are those of the
+# filtered corpus, which IS the corpus being searched.
+# ---------------------------------------------------------------------------
+
+ORACLE_FILTERED = _sql_skeleton(QUERY_TERMS, where="lang = 'en'") + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+"""
+
+
+@register("bm25_topk_filtered", ORACLE_FILTERED)
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark),
+    ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    return scorer.topk(sc, 20).select("doc_id", "bm25", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,207 @@
+"""Positional phrase search: exact-adjacency match + BM25-style ranking.
+
+The reference's index already stores per-(term, doc) token positions
+(documentIndex.Positions, reference internal/ranking/types.go:92-96) but
+never consumes them — its ranking reads Frequency only (features.go).
+This module is the operator those positions exist FOR: find documents
+containing the query terms as a CONSECUTIVE token sequence under the T1
+tokenizer, count occurrences (sliding-window, overlaps counted), and
+rank with the phrase treated as a single BM25 pseudo-term:
+
+    idf       = ln(doc_count / (phrase_df + 1))       (A3 smoothing)
+    score     = idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+Two execution paths, result-identical (pinned by tests/test_phrase.py):
+
+- ``phrase_topk`` — from raw (doc_id, text): phrase_tf is a single pure
+  Catalyst array expression evaluated scan-side (``F.filter`` over a
+  0..|d|-n index sequence); NO shuffle until the final top-k window and
+  no explode — the corpus is read once, projected to (doc_id, tf, len).
+- ``phrase_topk_from_index`` — from a positional index
+  (``build_index(..., with_positions=True)``): reads ONLY the phrase
+  terms' postings (term-bucket partition pruning, same as WAND), groups
+  them per doc, and intersects position lists with offset-shifted
+  ``array_intersect`` — cost scales with the phrase terms' df, not the
+  corpus, which is the serving shape at 10^12 turns.
+
+Both paths share the same scoring tail so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..functions.tokenize import tokens_col
+from ..sources.catalog import IndexCatalog, term_bucket
+
+
+def phrase_tf_col(tokens: Column, terms: list[str]) -> Column:
+    """Sliding-window phrase count over a token array, as one Catalyst
+    expression: #{ i : tokens[i+k] == terms[k] for all k }. Overlapping
+    occurrences count ("a a a" contains "a a" twice)."""
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    n = len(terms)
+
+    def window_matches(i: Column) -> Column:
+        cond = F.get(tokens, i) == F.lit(terms[0])
+        for k, w in enumerate(terms[1:], start=1):
+            cond = cond & (F.get(tokens, i + k) == F.lit(w))
+        return cond
+
+    counted = F.size(F.filter(F.sequence(F.lit(0), F.size(tokens) - n), window_matches))
+    # sequence(0, negative) would produce a DESCENDING range — guard short docs
+    return F.when(F.size(tokens) >= n, counted).otherwise(F.lit(0)).cast("int")
+
+
+def phrase_match(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, phrase_tf, doc_length) for docs containing the phrase.
+    One corpus scan, zero shuffles: tf and |d| are row-local expressions,
+    and the tf>0 filter discards non-matching docs scan-side."""
+    toks = tokens_col(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            phrase_tf_col(toks, terms).alias("phrase_tf"),
+            F.size(toks).alias("doc_length"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def _score_and_rank(matched: DataFrame, stats: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail: BM25 of the phrase pseudo-term + top-k.
+
+    ``matched``: (doc_id, phrase_tf, doc_length), assumed small relative
+    to the corpus (phrase df). ``stats``: 1-row (doc_count,
+    avg_doc_length). phrase_df folds in as a 1-row broadcast so the whole
+    computation stays in-plan (no driver collect between scan and rank).
+    """
+    pdf = matched.agg(F.count(F.lit(1)).alias("phrase_df"))
+    tf = F.col("phrase_tf").cast("double")
+    dl = F.col("doc_length").cast("double")
+    idf = F.log(
+        F.col("doc_count").cast("double") / (F.col("phrase_df") + F.lit(1)).cast("double")
+    )
+    score = idf * (tf * F.lit(K1 + 1.0)) / (
+        tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.col("avg_doc_length")))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        matched.crossJoin(F.broadcast(pdf))
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "phrase_tf", score.alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k phrase search from raw text. Returns (doc_id, phrase_tf,
+    bm25, rank). Corpus stats (doc_count, avgdl) are computed from the
+    same docs relation — on an indexed corpus prefer
+    ``phrase_topk_from_index`` which reuses the catalog's stored stats
+    and reads only the phrase terms' postings."""
+    toks = tokens_col(text_col)
+    stats = docs.select(F.size(toks).alias("doc_length")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.avg("doc_length").alias("avg_doc_length"),
+    )
+    return _score_and_rank(phrase_match(docs, terms, id_col, text_col), stats, k)
+
+
+def phrase_tf_from_positions(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_int, phrase_tf, doc_length) from a positional postings
+    relation (term, doc_int, doc_length, positions).
+
+    Offset-intersection: doc d contains the phrase at position p iff
+    positions(term_k) contains p+k for every k, so the candidate set is
+    ∩_k (positions_k - k), built with ``array_intersect`` over the
+    per-doc map {term -> positions}. Duplicate phrase terms share one
+    map entry and still intersect correctly at their distinct offsets.
+    """
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    distinct = sorted(set(terms))
+    per_doc = (
+        postings.filter(F.col("term").isin(distinct))
+        .groupBy("doc_int")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pos"),
+            F.max("doc_length").alias("doc_length"),
+        )
+        # conjunctive gate: every distinct phrase term must occur
+        .filter(F.size("pos") == len(distinct))
+    )
+    def shift(col: Column, off: int) -> Column:
+        # NOTE: must be a 1-parameter lambda — F.transform passes the array
+        # INDEX as a second argument to 2-parameter callables, so the usual
+        # `lambda p, off=off:` default-capture idiom silently breaks here
+        return F.transform(col, lambda p: p - F.lit(off))
+
+    cand = F.col("pos")[terms[0]]
+    for off, w in enumerate(terms[1:], start=1):
+        cand = F.array_intersect(cand, shift(F.col("pos")[w], off))
+    return (
+        per_doc.select(
+            "doc_int",
+            F.size(cand).cast("int").alias("phrase_tf"),
+            "doc_length",
+        )
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def phrase_topk_from_index(cat: IndexCatalog, terms: list[str], k: int = 20) -> DataFrame:
+    """Top-k phrase search over a positional index (built with
+    ``with_positions=True``). Returns (doc_id, phrase_tf, bm25, rank).
+
+    Scan cost = the phrase terms' posting lists only: the postings table
+    is partitioned by term bucket, so the ``bucket IN (...)`` predicate
+    prunes partitions and the ``term IN (...)`` predicate row-groups —
+    the corpus itself is never touched (stats come from the catalog's
+    corpus_stats table, doc_id from doc_meta joined AFTER truncation to
+    k rows)."""
+    post = cat.postings()
+    if "positions" not in post.columns:
+        raise ValueError(
+            "index has no positions column — rebuild with "
+            "build_index(..., with_positions=True) to serve phrase queries"
+        )
+    n_buckets = int(cat.read_manifest()["config"]["n_buckets"])
+    distinct = sorted(set(terms))
+    buckets = _buckets_of(cat, distinct, n_buckets)
+    pruned = post.filter(F.col("bucket").isin(buckets)).select(
+        "term", "doc_int", "doc_length", "positions"
+    )
+    matched = phrase_tf_from_positions(pruned, terms)
+    out = _score_and_rank(
+        matched.withColumnRenamed("doc_int", "doc_id"), cat.corpus_stats(), k
+    ).withColumnRenamed("doc_id", "doc_int")
+    meta = cat.doc_meta().select("doc_int", "doc_id")
+    return out.join(meta, "doc_int").select("doc_id", "phrase_tf", "bm25", "rank")
+
+
+def _buckets_of(cat: IndexCatalog, terms: list[str], n_buckets: int) -> list[int]:
+    """Driver-side bucket ids for the query terms — ONE 1-row Catalyst
+    eval for all terms so the hash is bit-identical to the build's
+    xxhash64 partitioning without launching a job per term."""
+    row = cat.spark.range(1).select(
+        *[term_bucket(F.lit(t), n_buckets).alias(f"b{i}") for i, t in enumerate(terms)]
+    ).collect()[0]
+    return sorted({int(v) for v in row})
