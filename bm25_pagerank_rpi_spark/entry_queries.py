@@ -563,6 +563,42 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("phrase_topk_from_index", ORACLE_PHRASE)
+def q_phrase_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional-index serving path under the SAME oracle as
+    phrase_topk: build a with_positions index over transcripts
+    (replicas=1 keeps text bit-identical to documents), intersect
+    offset-shifted position lists, re-rank on the 6-dp-rounded score so
+    tie-breaks are engine-portable. Path parity with the raw-text scan is
+    additionally pinned at 1e-12 in tests/test_phrase.py."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators import phrase
+    from .plans.index_build import build_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/driver_phrase_index_v1_{tag}"
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cat = build_index(spark, t, idx_dir, n_buckets=8, with_positions=True)
+    out = phrase.phrase_topk_from_index(cat, PHRASE_TERMS, k=1000)
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"),
+            "phrase_tf",
+            _r("bm25").alias("bm25"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "phrase_tf", "bm25", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Conjunctive (AND) retrieval — candidates must contain EVERY query term;
 # rank by BM25. The covered-term machinery (A8) already computes the gate:
