@@ -617,6 +617,44 @@ SELECT doc_id, bm25, rank FROM (
 """
 
 
+ORACLE_MSM = _sql_skeleton(AND_QUERY_TEXT.split()) + """
+SELECT doc_id, covered, bm25, rank FROM (
+  SELECT doc_id, covered_query_term_number::INT AS covered,
+         round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+  WHERE covered_query_term_number >= 2
+) WHERE rank <= 20
+"""
+
+
+@register("bm25_msm_topk", ORACLE_MSM)
+def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match retrieval: disjunctive scoring, but a doc
+    qualifies only if it covers >= m of the query terms (m=2 of 3 here) —
+    the middle ground between OR (m=1, bm25_topk) and AND (m=n,
+    bm25_conjunctive_topk). Reuses the A8 covered-term gate; no extra
+    shuffle beyond the disjunctive plan."""
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    qdf = spark.createDataFrame(
+        [("q1", AND_QUERY_TEXT)], "query_id string, text string"
+    )
+    sc = (
+        scorer.score_candidates(
+            scorer.doc_term_frequencies(docs), dlen,
+            scorer.corpus_stats(dlen), qdf,
+        )
+        .filter(F.col("covered_query_term_number") >= 2)
+        .select(
+            "query_id", "doc_id",
+            F.col("covered_query_term_number").cast("int").alias("covered"),
+            _r("bm25").alias("bm25"),
+        )
+    )
+    return scorer.topk(sc, 20).select("doc_id", "covered", "bm25", "rank")
+
+
 @register("bm25_conjunctive_topk", ORACLE_CONJUNCTIVE)
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -660,6 +698,61 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         scorer.corpus_stats(dlen), _queries_df(spark),
     ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
     return scorer.topk(sc, 20).select("doc_id", "bm25", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Snippet extraction — densest query-term window per matching doc, matched
+# terms bracketed (operators/snippets.py). Ranked by distinct-term count
+# with doc_id tie-break so the result is engine-portable.
+# ---------------------------------------------------------------------------
+
+SNIPPET_TERMS = ["hash", "join", "table"]
+_SNIPPET_W = 10
+_SNIPPET_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in SNIPPET_TERMS) + "]"
+
+ORACLE_SNIPPET = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, t, g.s AS s,
+         len(list_intersect(list_distinct(list_slice(t, g.s, g.s + {_SNIPPET_W - 1})),
+             {_SNIPPET_TERMS_SQL})) AS n
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {_SNIPPET_W - 1}, 1))) AS g(s)
+),
+best AS (
+  SELECT doc_id, t, s, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, s ASC) AS rn
+  FROM w
+),
+sel AS (SELECT * FROM best WHERE rn = 1 AND n > 0)
+SELECT doc_id, start, n_matched, snippet, rank FROM (
+  SELECT doc_id, (s - 1)::INT AS start, n::INT AS n_matched,
+         array_to_string(list_transform(list_slice(t, s, s + {_SNIPPET_W - 1}),
+             x -> CASE WHEN list_contains({_SNIPPET_TERMS_SQL}, x)
+                  THEN '[' || x || ']' ELSE x END), ' ') AS snippet,
+         row_number() OVER (ORDER BY n DESC, doc_id ASC)::INT AS rank
+  FROM sel
+) WHERE rank <= 20
+"""
+
+
+@register("snippet_topk", ORACLE_SNIPPET)
+def q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators import snippets
+
+    out = snippets.best_snippet(
+        _docs(spark, sf_dir), SNIPPET_TERMS, window=_SNIPPET_W
+    )
+    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "start", "n_matched", "snippet", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(sim, max_hamming=3)
 
 
+# ---------------------------------------------------------------------------
+# Dup-cluster assembly: connected components over the MinHash-LSH verified
+# pair graph (operators/components.py, alternating large-star/small-star).
+# Oracle: transitive closure via a recursive CTE over the SAME pair SQL.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {SQL_DOCS_AUG},
+{SQL_TOK_SH},
+{SQL_MINHASH},
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           coalesce(i.inter, 0)::DOUBLE
+             / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+  ) WHERE jaccard >= 0.7
+),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node::BIGINT AS doc_id, min(comp)::BIGINT AS component_id
+FROM reach GROUP BY node
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import connected_components
+
+    pairs = dedup.minhash_dedup_pairs(_docs_aug(spark, sf_dir), threshold=0.7)
+    return connected_components(pairs)
+
+
 def _planes_sql() -> str:
     planes = similarity.hyperplanes()
     return ", ".join(
