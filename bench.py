@@ -58,6 +58,7 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     timings: dict[str, float] = {}
+    extra_metrics: dict[str, float] = {}
 
     def timed(name: str, fn):
         t0 = time.time()
@@ -153,6 +154,25 @@ def main() -> None:
         warm.sort()
         timings["q_wand_warm_p50"] = round(warm[len(warm) // 2], 3)
 
+        # batch serving throughput: 64 distinct queries in ONE call.
+        # wand shards on (query_id, doc-range), so a batch amortizes the
+        # scan/job overhead across queries — the number that matters for
+        # offline re-ranking and high-QPS serving, vs the p50 of
+        # one-query-per-job above.
+        vocab = sorted({w for q in p50_queries for w in q.split()})
+        batch = [
+            (f"b{i}", " ".join(vocab[(i + j) % len(vocab)] for j in range(3)))
+            for i in range(64)
+        ]
+        bdf = spark.createDataFrame(batch, "query_id string, text string")
+        t0 = time.time()
+        sess.topk(bdf, k=K).count()
+        batch_s = time.time() - t0
+        # extra_metrics, NOT timings: keeps the headline total comparable
+        # with earlier rounds (the driver diffs totals round-over-round)
+        extra_metrics["wand_batch64_s"] = round(batch_s, 3)
+        extra_metrics["wand_batch64_qps"] = round(64.0 / batch_s, 1)
+
     # ---- representative operator families ----------------------------------
     for name in (
         "join_metadata_agg",
@@ -245,6 +265,7 @@ def main() -> None:
                 "ann_lsh_recall_by_probe_radius": recall,
                 "ann_ivf_recall_at_10": ivf_recall,
                 "ann_recall": ann_recall,
+                **extra_metrics,
             }
         )
     )
