@@ -768,3 +768,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import entry_queries_pipeline  # noqa: E402,F401
 from . import entry_queries_graph  # noqa: E402,F401
 from . import entry_queries_ltr  # noqa: E402,F401
+from . import entry_queries_retrieval  # noqa: E402,F401

@@ -1,0 +1,440 @@
+"""Driver pairs for the layered retrieval operators (retrieval_plus.py).
+
+Five capabilities over the documents/transcripts corpus, each with a
+full-value DuckDB oracle:
+
+- conversation_topk  — MaxP conversation ranking over per-turn BM25
+- bm25f_topk         — weighted multi-field BM25F (text/role/tool)
+- more_like_this     — source doc's top tf-idf terms as the query
+- facet_counts       — facet histogram over the disjunctive candidate set
+- prf_topk           — pseudo-relevance-feedback two-pass retrieval
+
+Transcript-derived pairs use synthesize_transcripts(replicas=1), which is
+a bijection doc_id <-> (conv = doc_id // 8, turn = doc_id % 8) with text
+bit-identical to documents.parquet, so the oracle reconstructs role/tool
+arithmetically from doc_id (sources/transcripts.py ROLES/TOOLS tables).
+
+All ranked outputs order by ROUND(score, 6) desc then id asc on BOTH
+sides so near-ties break identically across engines (house convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .entry_queries import (
+    AND_QUERY_TEXT,
+    SQL_SKELETON,
+    _docs,
+    _queries_df,
+    _r,
+    _sql_skeleton,
+    register,
+)
+from .operators import retrieval_plus, scorer
+from .sources.transcripts import synthesize_transcripts
+
+_K1P1 = K1 + 1.0
+_1MB = 1.0 - B
+
+# the occurrence BM25 term, shared by the appended second-pass oracles
+_BM25_TERM_SQL = f"""CASE WHEN tf IS NOT NULL AND idf IS NOT NULL THEN
+      idf * (tf * {_K1P1}) /
+      (tf + {K1} * ({_1MB} + {B} * (doc_length / avg_doc_length)))
+      ELSE 0.0 END"""
+
+
+def _turn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts (replicas=1) as scoreable turn-docs with numeric ids."""
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    conv = F.regexp_extract("conv_id", r"conv_(\d+)", 1).cast("long")
+    return t.select(
+        (conv * 8 + F.col("turn_idx")).alias("doc_id"),
+        conv.alias("conv_num"),
+        F.col("turn_idx"),
+        "role",
+        "tool",
+        "text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level retrieval (MaxP)
+# ---------------------------------------------------------------------------
+
+ORACLE_CONV = SQL_SKELETON + """
+, conv AS (
+  SELECT doc_id // 8 AS conv_id, (doc_id % 8)::INT AS turn_idx,
+         round(bm25, 6) AS s
+  FROM perdoc
+),
+cagg AS (
+  SELECT conv_id, max(s) AS conv_score, count(*)::INT AS n_turns_matched
+  FROM conv GROUP BY conv_id
+),
+cbest AS (
+  SELECT conv_id, turn_idx FROM (
+    SELECT conv_id, turn_idx,
+           row_number() OVER (PARTITION BY conv_id ORDER BY s DESC, turn_idx ASC) AS rn
+    FROM conv
+  ) WHERE rn = 1
+)
+SELECT conv_id, best_turn_idx, conv_score, n_turns_matched, rank FROM (
+  SELECT a.conv_id, b.turn_idx AS best_turn_idx, a.conv_score,
+         a.n_turns_matched,
+         row_number() OVER (ORDER BY a.conv_score DESC, a.conv_id ASC)::INT AS rank
+  FROM cagg a JOIN cbest b USING (conv_id)
+) WHERE rank <= 10
+"""
+
+
+@register("conversation_topk", ORACLE_CONV)
+def q_conversation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank CONVERSATIONS by their best-scoring turn (MaxP). Turn scores
+    are 6-dp-rounded before aggregation so the argmax/tie-breaks are
+    engine-portable; replicas=1 keeps turn text == documents text."""
+    turns = _turn_docs(spark, sf_dir)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(turns),
+        scorer.doc_lengths(turns),
+        scorer.corpus_stats(scorer.doc_lengths(turns)),
+        _queries_df(spark),
+    ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    scored = sc.select(
+        "query_id",
+        (F.col("doc_id") / 8).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        "bm25",
+    )
+    out = retrieval_plus.conversation_topk(scored, k=10, score_col="bm25")
+    return out.select(
+        "conv_id",
+        "best_turn_idx",
+        F.col("conv_score"),
+        "n_turns_matched",
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25F — weighted fields text (1.0) / role (0.5) / tool (2.0)
+# ---------------------------------------------------------------------------
+
+BM25F_QUERY_TEXT = "hash join search assistant"
+BM25F_WEIGHTS = {"text": 1.0, "role": 0.5, "tool": 2.0}
+
+_BM25F_QTERMS = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(BM25F_QUERY_TEXT.split())
+)
+
+ORACLE_BM25F = f"""
+WITH ftoks AS (
+  SELECT doc_id, t.term AS term, 1.0 AS w
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+  UNION ALL
+  SELECT doc_id,
+         list_extract(['user','assistant','system','tool'], (doc_id % 4 + 1)::INT),
+         0.5
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         list_extract(['none','search','code','browser'], ((doc_id % 16) // 4 + 1)::INT),
+         2.0
+  FROM documents
+),
+wtf AS (SELECT doc_id, term, sum(w) AS wtf FROM ftoks GROUP BY doc_id, term),
+wdl AS (
+  SELECT d.doc_id, coalesce(s.wdl, 0.0) AS wdl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(w) AS wdl FROM ftoks GROUP BY doc_id) s USING (doc_id)
+),
+fstats AS (SELECT count(*) AS doc_count, avg(wdl) AS avg_wdl FROM wdl),
+fqterms AS (SELECT * FROM (VALUES {_BM25F_QTERMS}) AS v(pos, term)),
+fdf AS (
+  SELECT term, count(*) AS df FROM wtf
+  WHERE term IN (SELECT term FROM fqterms) GROUP BY term
+),
+fidf AS (
+  SELECT term, ln((SELECT doc_count FROM fstats)::DOUBLE / (df + 1)) AS idf
+  FROM fdf
+),
+fcand AS (
+  SELECT DISTINCT doc_id FROM wtf WHERE term IN (SELECT term FROM fqterms)
+),
+focc AS (
+  SELECT q.term, c.doc_id, w.wtf, i.idf, l.wdl, s.avg_wdl
+  FROM fqterms q CROSS JOIN fcand c
+  LEFT JOIN wtf w ON w.doc_id = c.doc_id AND w.term = q.term
+  LEFT JOIN fidf i ON i.term = q.term
+  JOIN wdl l ON l.doc_id = c.doc_id
+  CROSS JOIN fstats s
+),
+fperdoc AS (
+  SELECT doc_id,
+    sum(CASE WHEN wtf IS NOT NULL AND idf IS NOT NULL THEN
+        idf * (wtf * {_K1P1}) /
+        (wtf + {K1} * ({_1MB} + {B} * (wdl / avg_wdl)))
+        ELSE 0.0 END) AS bm25f,
+    sum(CASE WHEN wtf IS NOT NULL AND idf IS NOT NULL THEN 1 ELSE 0 END)::INT AS covered
+  FROM focc GROUP BY doc_id
+)
+SELECT doc_id, bm25f, covered, rank FROM (
+  SELECT doc_id, round(bm25f, 6) AS bm25f, covered,
+         row_number() OVER (ORDER BY round(bm25f, 6) DESC, doc_id ASC)::INT AS rank
+  FROM fperdoc
+) WHERE rank <= 20
+"""
+
+
+@register("bm25f_topk", ORACLE_BM25F)
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple BM25F over the transcript fields: tool tokens weigh 2x,
+    role tokens 0.5x, body text 1x. The oracle reconstructs role/tool
+    from doc_id arithmetic (the replicas=1 synthesis is a bijection)."""
+    turns = _turn_docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [("q1", BM25F_QUERY_TEXT)], "query_id string, text string"
+    )
+    sc = retrieval_plus.bm25f_score(turns, qdf, BM25F_WEIGHTS)
+    w = Window.orderBy(F.desc(F.round("bm25f", 6)), F.asc("doc_id"))
+    return (
+        sc.select("doc_id", _r("bm25f").alias("bm25f"), "covered")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# More-like-this — doc 42's top-8 tf-idf terms as the query
+# ---------------------------------------------------------------------------
+
+MLT_SOURCE_DOC = 42
+MLT_N_TERMS = 8
+
+ORACLE_MLT = f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+src AS (SELECT term, tf FROM doc_tf WHERE doc_id = {MLT_SOURCE_DOC}),
+sdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM doc_tf
+  WHERE term IN (SELECT term FROM src) GROUP BY term
+),
+sidf AS (
+  SELECT term, ln((SELECT doc_count FROM stats)::DOUBLE / (df + 1)) AS idf
+  FROM sdf
+),
+qsel AS (
+  SELECT term, idf FROM (
+    SELECT s.term, i.idf,
+           row_number() OVER (ORDER BY round(s.tf * i.idf, 6) DESC, s.term ASC) AS rn
+    FROM src s JOIN sidf i USING (term)
+  ) WHERE rn <= {MLT_N_TERMS}
+),
+mcand AS (
+  SELECT DISTINCT doc_id FROM doc_tf
+  WHERE term IN (SELECT term FROM qsel) AND doc_id <> {MLT_SOURCE_DOC}
+),
+mocc AS (
+  SELECT q.term, c.doc_id, dt.tf, q.idf, dl.doc_length, s.avg_doc_length
+  FROM qsel q CROSS JOIN mcand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+mperdoc AS (
+  SELECT doc_id,
+    sum({_BM25_TERM_SQL}) AS bm25
+  FROM mocc GROUP BY doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM mperdoc
+) WHERE rank <= 20
+"""
+
+
+@register("more_like_this", ORACLE_MLT)
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = retrieval_plus.more_like_this(
+        _docs(spark, sf_dir), MLT_SOURCE_DOC, n_terms=MLT_N_TERMS, k=20
+    )
+    return out.select("doc_id", "bm25", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Faceted search — lang/source histograms of the candidate set
+# ---------------------------------------------------------------------------
+
+ORACLE_FACETS = SQL_SKELETON + """
+SELECT field, value, n_docs FROM (
+  SELECT 'lang' AS field, d.lang AS value, count(*)::BIGINT AS n_docs
+  FROM cand c JOIN documents d USING (doc_id) GROUP BY d.lang
+  UNION ALL
+  SELECT 'source', d.source, count(*)::BIGINT
+  FROM cand c JOIN documents d USING (doc_id) GROUP BY d.source
+)
+"""
+
+
+@register("facet_counts", ORACLE_FACETS)
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = retrieval_plus.facet_counts(
+        _docs(spark, sf_dir), _queries_df(spark), ["lang", "source"]
+    )
+    return out.select("field", "value", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback — two-pass retrieval
+# ---------------------------------------------------------------------------
+
+PRF_FB_DOCS = 10
+PRF_FB_TERMS = 5
+
+ORACLE_PRF = _sql_skeleton(AND_QUERY_TEXT.split()) + f"""
+, fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rn
+    FROM perdoc
+  ) WHERE rn <= {PRF_FB_DOCS}
+),
+fmass AS (
+  SELECT dt.term, sum(dt.tf::DOUBLE / dl.doc_length) AS mass
+  FROM doc_tf dt JOIN fb USING (doc_id)
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  GROUP BY dt.term
+),
+fdf2 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM doc_tf
+  WHERE term IN (SELECT term FROM fmass) GROUP BY term
+),
+fw AS (
+  SELECT m.term,
+         round(m.mass * ln((SELECT doc_count FROM stats)::DOUBLE / (d.df + 1)), 6) AS w
+  FROM fmass m JOIN fdf2 d USING (term)
+  WHERE m.term NOT IN (SELECT DISTINCT term FROM qterms)
+),
+exp AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY w DESC, term ASC) AS rn FROM fw
+  ) WHERE rn <= {PRF_FB_TERMS}
+),
+q2 AS (SELECT term FROM qterms UNION ALL SELECT term FROM exp),
+df2 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM doc_tf
+  WHERE term IN (SELECT DISTINCT term FROM q2) GROUP BY term
+),
+idf2 AS (
+  SELECT term, ln((SELECT doc_count FROM stats)::DOUBLE / (df + 1)) AS idf
+  FROM df2
+),
+cand2 AS (
+  SELECT DISTINCT doc_id FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM q2)
+),
+occ2 AS (
+  SELECT q.term, c.doc_id, dt.tf, i.idf, dl.doc_length, s.avg_doc_length
+  FROM q2 q CROSS JOIN cand2 c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  LEFT JOIN idf2 i ON i.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+perdoc2 AS (
+  SELECT doc_id,
+    sum({_BM25_TERM_SQL}) AS bm25,
+    sum(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END)::INT AS covered
+  FROM occ2 GROUP BY doc_id
+)
+SELECT doc_id, bm25, covered, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25, covered,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc2
+) WHERE rank <= 20
+"""
+
+
+@register("prf_topk", ORACLE_PRF)
+def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qdf = spark.createDataFrame(
+        [("q1", AND_QUERY_TEXT)], "query_id string, text string"
+    )
+    out = retrieval_plus.prf_topk(
+        _docs(spark, sf_dir), qdf,
+        fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS, k=20,
+    )
+    return out.select("doc_id", "bm25", "covered", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Index-served conversation retrieval (WAND -> MaxP)
+# ---------------------------------------------------------------------------
+
+ORACLE_CONV_INDEX = SQL_SKELETON + """
+, conv AS (
+  SELECT doc_id // 8 AS conv_id, (doc_id % 8)::INT AS turn_idx,
+         round(bm25, 6) AS s
+  FROM perdoc
+),
+cagg AS (SELECT conv_id, max(s) AS conv_score FROM conv GROUP BY conv_id),
+cbest AS (
+  SELECT conv_id, turn_idx FROM (
+    SELECT conv_id, turn_idx,
+           row_number() OVER (PARTITION BY conv_id ORDER BY s DESC, turn_idx ASC) AS rn
+    FROM conv
+  ) WHERE rn = 1
+)
+SELECT conv_id, conv_score, best_turn_idx, rank FROM (
+  SELECT a.conv_id, a.conv_score, b.turn_idx AS best_turn_idx,
+         row_number() OVER (ORDER BY a.conv_score DESC, a.conv_id ASC)::INT AS rank
+  FROM cagg a JOIN cbest b USING (conv_id)
+) WHERE rank <= 10
+"""
+
+
+@register("conversation_topk_from_index", ORACLE_CONV_INDEX)
+def q_conversation_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-path twin of conversation_topk: block-max WAND top
+    turns -> MaxP aggregation (turns_k=1000 >= 8*k makes the top-10
+    conversations exact; see conversation_topk_from_index docstring).
+    Shares the cached v3 driver index with wand_topk_from_index. Scores
+    round to 6 dp BEFORE aggregation so argmax/tie-breaks are portable;
+    conv numbers come from the doc_id bijection conv*8+turn."""
+    import hashlib
+
+    from .operators import retrieval_plus
+    from .plans.index_build import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/driver_wand_index_v3_{tag}"
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cat = build_index(spark, t, idx_dir, n_buckets=8)
+
+    from .operators.wand import wand_topk
+
+    turns = wand_topk(cat, _queries_df(spark), k=1000)
+    scored = turns.select(
+        "query_id",
+        F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long").alias("conv_id"),
+        F.regexp_extract("doc_id", r":(\d+)$", 1).cast("int").alias("turn_idx"),
+        F.round("bm25", 6).alias("bm25"),
+    )
+    out = retrieval_plus.conversation_topk(scored, k=10, score_col="bm25")
+    return out.select("conv_id", "conv_score", "best_turn_idx", "rank")

@@ -1,0 +1,477 @@
+"""Layered retrieval operators composed over the exact BM25 scorer.
+
+Production retrieval stacks layer these five capabilities over plain
+per-document BM25 (the reference serves only the flat ranker,
+internal/ranking/ranker.go:44-68; these are the standard next rungs a
+user of that service asks for, each built Spark-first):
+
+- ``conversation_topk``  — passage->document aggregation (MaxP): rank
+  CONVERSATIONS by their best-scoring turn. The transcript corpus
+  (conv_id, turn_idx) is the natural unit pair.
+- ``bm25f_score`` / ``bm25f_topk`` — simple BM25F: per-field weighted
+  term frequencies and weighted length normalization (Robertson et al.,
+  "Simple BM25 extension to multiple weighted fields", CIKM 2004).
+- ``more_like_this`` — similar-document retrieval: the source doc's top
+  tf-idf terms become the query (Lucene's MoreLikeThis semantics).
+- ``facet_counts`` — facet aggregation over the candidate set (every
+  doc matching >=1 query term), grouped by metadata columns.
+- ``prf_expand`` / ``prf_topk`` — pseudo-relevance feedback: expansion
+  terms mined from the top feedback docs re-weight a second scoring
+  pass (RM-style two-pass retrieval, Lavrenko & Croft 2001,
+  simplified to a deterministic tf/len * idf term weight).
+
+Scale notes (100 TB thinking):
+- every stage is pure Catalyst (no Python in the hot path); the only
+  driver-side materialization is QUERY PLANNING state bounded by
+  #queries x n_terms (more_like_this / prf expansion term lists — the
+  same bounded collect the WAND session does for query stats).
+- conversation aggregation is ONE extra hash aggregate keyed
+  (query_id, conv_id) after the per-turn score agg; the best-turn
+  argmax rides the same aggregate as a struct-max, no window pass.
+- BM25F's fielded token union multiplies the explode volume by the
+  number of SHORT fields only (role/tool are 1 token vs ~100 for
+  text), so the posting volume grows a few percent, not x3.
+- facet counting joins the (small) candidate id set to metadata via
+  the same broadcast-semi-join shape the feature joins use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..functions.tokenize import tokens_col
+from . import scorer
+
+# ---------------------------------------------------------------------------
+# Conversation-level retrieval (MaxP aggregation)
+# ---------------------------------------------------------------------------
+
+
+def conversation_topk(
+    scored_turns: DataFrame,
+    k: int = 10,
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Aggregate per-turn scores to conversations; rank by best turn.
+
+    Input: one row per (query_id, conv_id, turn_idx) with ``score_col``
+    (produced by ``scorer.score_candidates`` over turn-docs). Output one
+    row per (query_id, conv_id): the MaxP conversation score, the
+    best-scoring turn (ties -> lowest turn_idx), how many turns matched,
+    and the conversation rank (score desc, conv_id asc).
+
+    MaxP (max of passage scores) is the standard passage->document
+    aggregation; sum/mean over matching turns are also emitted so the
+    caller can re-rank without re-scoring.
+    """
+    s = F.col(score_col)
+    agg = scored_turns.groupBy("query_id", "conv_id").agg(
+        # struct-max argmax: highest score, then LOWEST turn_idx on ties
+        # (negating turn makes lexicographic struct order pick it) — one
+        # hash aggregate, no second window pass over the turn relation
+        F.max(F.struct(s.alias("s"), (-F.col("turn_idx")).alias("nt"))).alias("best"),
+        F.sum(s).alias("sum_score"),
+        F.avg(s).alias("mean_score"),
+        F.count(F.lit(1)).cast("int").alias("n_turns_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("best.s")), F.asc("conv_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "conv_id",
+            F.col("best.s").alias("conv_score"),
+            (-F.col("best.nt")).cast("int").alias("best_turn_idx"),
+            "sum_score",
+            "mean_score",
+            "n_turns_matched",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25F — weighted multi-field scoring
+# ---------------------------------------------------------------------------
+
+
+def fielded_term_frequencies(
+    docs: DataFrame,
+    field_weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, wtf): weighted tf summed across fields.
+
+    wtf(d, t) = sum_f w_f * tf_f(d, t) — the "simple BM25F" field
+    combination. One union of per-field exploded tokens, one hash
+    aggregate; each field's tokens carry the field weight as a literal.
+    """
+    parts = []
+    for col, w in field_weights.items():
+        parts.append(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokens_col(col)).alias("term"),
+                F.lit(float(w)).alias("w"),
+            )
+        )
+    toks = parts[0]
+    for p in parts[1:]:
+        toks = toks.unionByName(p)
+    return toks.groupBy("doc_id", "term").agg(F.sum("w").alias("wtf"))
+
+
+def fielded_doc_lengths(
+    docs: DataFrame,
+    field_weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, wdl): weighted document length sum_f w_f * |field_f|.
+
+    Computed directly from the source row (size of each field's token
+    array) — no explode, includes docs whose every field is empty.
+    """
+    wdl = None
+    for col, w in field_weights.items():
+        term = F.size(tokens_col(col)).cast("double") * F.lit(float(w))
+        wdl = term if wdl is None else wdl + term
+    return docs.select(F.col(id_col).alias("doc_id"), wdl.alias("wdl"))
+
+
+def bm25f_score(
+    docs: DataFrame,
+    queries: DataFrame,
+    field_weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(query, candidate) simple-BM25F score over weighted fields.
+
+    Scoring mirrors the house BM25 occurrence semantics (duplicate query
+    terms count per occurrence; occurrences with no posting or no idf are
+    skipped) with tf -> wtf and |d| -> weighted length:
+
+        score = sum_occ idf(t) * wtf*(k1+1) / (wtf + k1*(1-b + b*wdl/avgwdl))
+
+    idf(t) = ln(N / (df+1)) with df counted over the UNION of fields
+    (a doc containing t in any weighted field is a match).
+    """
+    wtf = fielded_term_frequencies(docs, field_weights, id_col)
+    wdl = fielded_doc_lengths(docs, field_weights, id_col)
+    stats = wdl.agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.avg("wdl").alias("avg_wdl"),
+    )
+
+    qocc = scorer.query_term_occurrences(queries)
+    qterms = qocc.select("query_id", "term").distinct()
+
+    df_rel = (
+        wtf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(F.col("doc_count").cast("double") / (F.col("df") + 1)).alias("idf"),
+    )
+
+    cand = (
+        wtf.select("term", "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .join(wdl, "doc_id")
+    )
+    occ = (
+        cand.join(F.broadcast(qocc), "query_id")
+        .join(wtf, ["doc_id", "term"], "left")
+        .join(F.broadcast(idf), "term", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    has = F.col("wtf").isNotNull() & F.col("idf").isNotNull()
+    term_score = F.when(
+        has,
+        F.col("idf")
+        * (F.col("wtf") * F.lit(K1 + 1.0))
+        / (
+            F.col("wtf")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (F.col("wdl") / F.col("avg_wdl")))
+        ),
+    ).otherwise(F.lit(0.0))
+    return occ.groupBy("query_id", "doc_id").agg(
+        F.sum(term_score).alias("bm25f"),
+        F.sum(F.when(has, 1).otherwise(0)).cast("int").alias("covered"),
+    )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field_weights: dict[str, float],
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k by BM25F (desc, doc_id asc tie-break), with rank."""
+    sc = bm25f_score(docs, queries, field_weights, id_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25f"), F.asc("doc_id"))
+    return sc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# More-like-this — similar-document retrieval
+# ---------------------------------------------------------------------------
+
+
+def more_like_this_terms(
+    doc_tf: DataFrame,
+    stats: DataFrame,
+    source_doc_id,
+    n_terms: int = 8,
+) -> list[str]:
+    """The source doc's top ``n_terms`` terms by tf*idf.
+
+    Selection key is ROUND(tf*idf, 6) desc then term asc — the rounding
+    makes the cut engine-portable (same convention as every ranked
+    driver pair). Returns a Python list: this is bounded QUERY PLANNING
+    state (n_terms strings), not data movement.
+    """
+    src = doc_tf.filter(F.col("doc_id") == source_doc_id).select("term", "tf")
+    idf = scorer.term_idf(doc_tf, stats, src.select("term"))
+    ranked = (
+        src.join(idf.select("term", "idf"), "term")
+        .select("term", F.round(F.col("tf") * F.col("idf"), 6).alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(n_terms)
+    )
+    return [r["term"] for r in ranked.collect()]
+
+
+def more_like_this(
+    docs: DataFrame,
+    source_doc_id,
+    n_terms: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """Docs most similar to ``source_doc_id``: BM25 over its top terms.
+
+    Two passes: (1) mine the source doc's top tf-idf terms (bounded
+    collect), (2) score the corpus with those terms as a disjunctive
+    query, excluding the source doc itself. Rank = (rounded bm25 desc,
+    doc_id asc) so the ordering is engine-portable.
+    """
+    spark = docs.sparkSession
+    dtf = scorer.doc_term_frequencies(docs)
+    dlen = scorer.doc_lengths(docs)
+    stats = scorer.corpus_stats(dlen)
+    terms = more_like_this_terms(dtf, stats, source_doc_id, n_terms)
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, bm25 double, rank int"
+        )
+    qdf = spark.createDataFrame(
+        [("mlt", " ".join(terms))], "query_id string, text string"
+    )
+    sc = (
+        scorer.score_candidates(dtf, dlen, stats, qdf)
+        .filter(F.col("doc_id") != source_doc_id)
+        .select("query_id", "doc_id", F.round("bm25", 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return sc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Faceted search — metadata aggregation over the candidate set
+# ---------------------------------------------------------------------------
+
+
+def facet_counts(
+    docs: DataFrame,
+    queries: DataFrame,
+    facet_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, field, value, n_docs): facet histogram of candidates.
+
+    Candidates = docs containing >=1 query term (the same disjunctive
+    candidate rule the scorer uses). One row per facet value per field.
+    The candidate set stays an id relation until the single metadata
+    join; per-field histograms union after aggregation (each union leg
+    aggregates the SAME joined relation, so Catalyst reuses the scan).
+    """
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    qterms = scorer.query_term_occurrences(queries).select("query_id", "term").distinct()
+    cand = (
+        dtf.select("term", "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    meta = cand.join(
+        docs.select(F.col(id_col).alias("doc_id"), *facet_cols), "doc_id"
+    )
+    parts = []
+    for col in facet_cols:
+        parts.append(
+            meta.groupBy("query_id", F.col(col))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                "query_id",
+                F.lit(col).alias("field"),
+                F.col(col).cast("string").alias("value"),
+                "n_docs",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM-style, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def prf_expansion_terms(
+    scored: DataFrame,
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+) -> DataFrame:
+    """(query_id, term): expansion terms mined from the feedback docs.
+
+    Feedback set = top ``fb_docs`` by (rounded bm25 desc, doc_id asc).
+    Term weight = sum over feedback docs of (tf/|d|) * idf(t) — a
+    deterministic RM1-style weight; original query terms are excluded.
+    Top ``fb_terms`` by (rounded weight desc, term asc).
+
+    Stays a DataFrame: callers that need the terms driver-side (to build
+    the expanded query) collect #queries x fb_terms rows — bounded
+    planning state.
+    """
+    w_fb = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    fb = (
+        scored.withColumn("rn", F.row_number().over(w_fb))
+        .filter(F.col("rn") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+    # tf/|d| mass per (query, term) across the feedback docs; fb is tiny
+    # (#queries x fb_docs) -> broadcast against the big doc_tf relation
+    mass = (
+        doc_tf.join(F.broadcast(fb), "doc_id")
+        .join(doc_len, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(
+                F.col("tf").cast("double") / F.col("doc_length").cast("double")
+            ).alias("mass")
+        )
+    )
+    # idf over exactly the candidate expansion vocabulary
+    idf = scorer.term_idf(doc_tf, stats, mass.select("term").distinct())
+    qterms = scorer.query_term_occurrences(queries).select("query_id", "term").distinct()
+    weighted = (
+        mass.join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
+        .select("query_id", "term", F.round(F.col("mass") * F.col("idf"), 6).alias("w"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        weighted.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= fb_terms)
+        .select("query_id", "term")
+    )
+
+
+def prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Two-pass retrieval: score, expand from top docs, re-score, top-k.
+
+    The expanded query = original occurrence list + each expansion term
+    once; pass 2 scores it with the standard occurrence semantics.
+    Output: (query_id, doc_id, bm25, covered, rank) of the SECOND pass.
+    """
+    spark = docs.sparkSession
+    dtf = scorer.doc_term_frequencies(docs)
+    dlen = scorer.doc_lengths(docs)
+    stats = scorer.corpus_stats(dlen)
+    pass1 = scorer.score_candidates(dtf, dlen, stats, queries).select(
+        "query_id", "doc_id", "bm25"
+    )
+    exp = prf_expansion_terms(
+        pass1, dtf, dlen, stats, queries, fb_docs=fb_docs, fb_terms=fb_terms
+    )
+    # bounded planning collect: #queries x fb_terms rows
+    exp_by_q: dict[str, list[str]] = {}
+    for r in exp.collect():
+        exp_by_q.setdefault(r["query_id"], []).append(r["term"])
+    base = {
+        r["query_id"]: r["text"]
+        for r in queries.select("query_id", "text").collect()
+    }
+    expanded = [
+        (qid, " ".join([text] + sorted(exp_by_q.get(qid, []))))
+        for qid, text in base.items()
+    ]
+    qdf2 = spark.createDataFrame(expanded, "query_id string, text string")
+    sc = scorer.score_candidates(dtf, dlen, stats, qdf2).select(
+        "query_id",
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("covered_query_term_number").cast("int").alias("covered"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return sc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def conversation_topk_from_index(
+    cat,
+    queries: DataFrame,
+    k: int = 10,
+    turns_k: int = 1000,
+    turns_per_conv: int = 8,
+) -> DataFrame:
+    """Index-served conversation retrieval: WAND top turns -> MaxP convs.
+
+    Rank-safety: a conversation's MaxP score is its best turn's score,
+    and turns scoring above the true k-th conversation's best turn can
+    come only from the (k-1) better conversations — at most
+    ``turns_per_conv`` turns each. So ``turns_k >= k * turns_per_conv``
+    makes the top-k conversations EXACT (up to equal-score boundary
+    ties), while the index prunes with block-max bounds instead of
+    scoring the corpus. Only (conv_score, best_turn_idx) are exact under
+    truncation — matched-turn counts/sums need the full candidate set,
+    so this serving variant does not emit them (use conversation_topk
+    over the exact scorer for analytics).
+
+    ``doc_id`` in the index is ``conv_id:turn_idx`` (SURVEY.md §1.3).
+    """
+    from .wand import wand_topk
+
+    turns = wand_topk(cat, queries, k=max(turns_k, k * turns_per_conv))
+    scored = turns.select(
+        "query_id",
+        F.regexp_extract("doc_id", r"^(.*):(\d+)$", 1).alias("conv_id"),
+        F.regexp_extract("doc_id", r":(\d+)$", 1).cast("int").alias("turn_idx"),
+        F.col("bm25"),
+    )
+    return conversation_topk(scored, k=k, score_col="bm25").select(
+        "query_id", "conv_id", "conv_score", "best_turn_idx", "rank"
+    )

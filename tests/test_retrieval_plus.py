@@ -1,0 +1,315 @@
+"""Layered retrieval operators (operators/retrieval_plus.py): MaxP
+conversation aggregation, BM25F field weighting, more-like-this,
+facets, and pseudo-relevance feedback — closed-form + equivalence."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bm25_pagerank_rpi_spark import B, K1
+from bm25_pagerank_rpi_spark.operators import retrieval_plus as rp
+from bm25_pagerank_rpi_spark.operators import scorer
+
+
+# ---------------------------------------------------------------------------
+# conversation_topk
+# ---------------------------------------------------------------------------
+
+
+def _conv(spark, rows, k=10):
+    df = spark.createDataFrame(
+        rows, "query_id string, conv_id string, turn_idx int, bm25 double"
+    )
+    return {
+        r.conv_id: r for r in rp.conversation_topk(df, k=k).collect()
+    }
+
+
+def test_conversation_maxp_and_tiebreaks(spark):
+    rows = [
+        ("q1", "c1", 0, 1.0),
+        ("q1", "c1", 3, 5.0),
+        ("q1", "c2", 2, 5.0),
+        ("q1", "c2", 1, 5.0),  # same score as turn 2 -> lowest turn wins
+        ("q1", "c3", 0, 2.0),
+    ]
+    got = _conv(spark, rows, k=3)
+    assert got["c1"].conv_score == 5.0 and got["c1"].best_turn_idx == 3
+    assert got["c2"].best_turn_idx == 1  # tie -> lowest turn_idx
+    assert got["c1"].n_turns_matched == 2 and got["c2"].n_turns_matched == 2
+    assert abs(got["c1"].sum_score - 6.0) < 1e-12
+    assert abs(got["c2"].mean_score - 5.0) < 1e-12
+    # equal conv scores (5.0): conv_id asc breaks the tie
+    assert got["c1"].rank == 1 and got["c2"].rank == 2 and got["c3"].rank == 3
+
+
+def test_conversation_topk_cuts(spark):
+    rows = [("q1", f"c{i}", 0, float(i)) for i in range(6)]
+    got = _conv(spark, rows, k=2)
+    assert set(got) == {"c5", "c4"}
+    assert got["c5"].rank == 1
+
+
+def test_conversation_per_query_partitioning(spark):
+    rows = [
+        ("qa", "c1", 0, 1.0),
+        ("qb", "c1", 0, 9.0),
+        ("qb", "c2", 0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, conv_id string, turn_idx int, bm25 double"
+    )
+    out = rp.conversation_topk(df, k=1).collect()
+    by_q = {r.query_id: r for r in out}
+    assert by_q["qa"].conv_id == "c1" and by_q["qa"].rank == 1
+    assert by_q["qb"].conv_id == "c1" and by_q["qb"].conv_score == 9.0
+
+
+# ---------------------------------------------------------------------------
+# BM25F
+# ---------------------------------------------------------------------------
+
+
+def _bm25f_ref(docs_fields, weights, query_terms):
+    """Pure-Python simple-BM25F reference (occurrence semantics)."""
+    wtf: dict = {}
+    wdl: dict = {}
+    for d, fields in docs_fields.items():
+        wdl[d] = 0.0
+        wtf[d] = {}
+        for f, w in weights.items():
+            toks = fields.get(f, "").split()
+            wdl[d] += w * len(toks)
+            for t in toks:
+                wtf[d][t] = wtf[d].get(t, 0.0) + w
+    n = len(docs_fields)
+    avg = sum(wdl.values()) / n
+
+    def df(t):
+        return sum(1 for d in wtf if t in wtf[d])
+
+    out = {}
+    for d in docs_fields:
+        s, cov = 0.0, 0
+        for t in query_terms:
+            v = wtf[d].get(t)
+            if v is None:
+                continue
+            idf = math.log(n / (df(t) + 1))
+            s += idf * (v * (K1 + 1)) / (v + K1 * (1 - B + B * (wdl[d] / avg)))
+            cov += 1
+        if cov > 0 or any(t in wtf[d] for t in query_terms):
+            out[d] = (s, cov)
+    return out
+
+
+def test_bm25f_matches_reference(spark):
+    docs_fields = {
+        1: {"text": "alpha beta beta gamma", "tag": "code"},
+        2: {"text": "alpha alpha delta", "tag": "search"},
+        3: {"text": "gamma delta epsilon zeta", "tag": "code"},
+        4: {"text": "", "tag": "browser"},
+    }
+    weights = {"text": 1.0, "tag": 2.0}
+    df = spark.createDataFrame(
+        [(d, f["text"], f["tag"]) for d, f in docs_fields.items()],
+        "doc_id long, text string, tag string",
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "alpha code beta")], "query_id string, text string"
+    )
+    got = {
+        r.doc_id: (r.bm25f, r.covered)
+        for r in rp.bm25f_score(df, qdf, weights).collect()
+    }
+    exp = _bm25f_ref(docs_fields, weights, ["alpha", "code", "beta"])
+    exp = {d: v for d, v in exp.items() if v[1] > 0}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d][0] - exp[d][0]) < 1e-9, d
+        assert got[d][1] == exp[d][1]
+
+
+def test_bm25f_single_text_field_equals_bm25(spark):
+    """With one field at weight 1.0, BM25F degenerates to plain BM25."""
+    texts = {
+        10: "hash join table table",
+        11: "hash scan index",
+        12: "sort merge join",
+        13: "",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "hash join join")], "query_id string, text string"
+    )
+    f_scores = {
+        r.doc_id: r.bm25f
+        for r in rp.bm25f_score(df, qdf, {"text": 1.0}).collect()
+    }
+    dlen = scorer.doc_lengths(df)
+    base = {
+        r.doc_id: r.bm25
+        for r in scorer.score_candidates(
+            scorer.doc_term_frequencies(df), dlen,
+            scorer.corpus_stats(dlen), qdf,
+        ).collect()
+    }
+    assert set(f_scores) == set(base)
+    for d in base:
+        assert abs(f_scores[d] - base[d]) < 1e-12, d
+
+
+def test_bm25f_topk_rank_and_cut(spark):
+    df = spark.createDataFrame(
+        [(i, "common", "t%d" % i) for i in range(5)],
+        "doc_id long, text string, tag string",
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "common")], "query_id string, text string"
+    )
+    out = rp.bm25f_topk(df, qdf, {"text": 1.0, "tag": 1.0}, k=3).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# more_like_this
+# ---------------------------------------------------------------------------
+
+
+def test_mlt_term_mining_and_exclusion(spark):
+    texts = {
+        1: "zebra yak xylo common",
+        2: "zebra yak xylo other",
+        3: "common common common",
+        4: "unrelated words here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    dtf = scorer.doc_term_frequencies(df)
+    stats = scorer.corpus_stats(scorer.doc_lengths(df))
+    # all four source terms have tf=1, df=2 -> equal tf*idf; the pinned
+    # tie-break (term asc) makes the n_terms=3 cut deterministic
+    terms = rp.more_like_this_terms(dtf, stats, 1, n_terms=3)
+    assert terms == ["common", "xylo", "yak"]
+
+    out = rp.more_like_this(df, 1, n_terms=3, k=10).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 not in ids  # source excluded
+    assert ids == {2, 3}  # doc2 via xylo+yak, doc3 via common
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].rank == 1  # matches 2 of 3 query terms
+
+
+def test_mlt_empty_source_doc(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "alpha beta")], "doc_id long, text string"
+    )
+    assert rp.more_like_this(df, 1, n_terms=5, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# facet_counts
+# ---------------------------------------------------------------------------
+
+
+def test_facet_counts_histogram(spark):
+    rows = [
+        (1, "hash join", "en", "web"),
+        (2, "hash scan", "en", "wiki"),
+        (3, "sort merge", "de", "web"),   # no query term -> not a candidate
+        (4, "join only", "de", "web"),
+        (5, "", "fr", "books"),           # empty doc -> not a candidate
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "hash join")], "query_id string, text string"
+    )
+    got = {
+        (r.field, r.value): r.n_docs
+        for r in rp.facet_counts(df, qdf, ["lang", "source"]).collect()
+    }
+    assert got == {
+        ("lang", "en"): 2,
+        ("lang", "de"): 1,
+        ("source", "web"): 2,
+        ("source", "wiki"): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# prf
+# ---------------------------------------------------------------------------
+
+
+def _prf_corpus(spark):
+    texts = {
+        1: "hash join probe bucket",       # feedback doc
+        2: "hash join radix bucket",       # feedback doc
+        3: "probe radix bucket",           # only expansion terms
+        4: "unrelated words entirely",     # never matches
+        5: "hash",                         # weak pass-1 match
+    }
+    return spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+
+def test_prf_expansion_excludes_query_terms(spark):
+    df = _prf_corpus(spark)
+    qdf = spark.createDataFrame(
+        [("q1", "hash join")], "query_id string, text string"
+    )
+    dtf = scorer.doc_term_frequencies(df)
+    dlen = scorer.doc_lengths(df)
+    stats = scorer.corpus_stats(dlen)
+    pass1 = scorer.score_candidates(dtf, dlen, stats, qdf).select(
+        "query_id", "doc_id", "bm25"
+    )
+    exp = [
+        r.term
+        for r in rp.prf_expansion_terms(
+            pass1, dtf, dlen, stats, qdf, fb_docs=3, fb_terms=3
+        ).collect()
+    ]
+    assert len(exp) <= 3
+    assert "hash" not in exp and "join" not in exp
+    # expansion mined from docs 1/2/5: bucket appears in both top docs
+    assert "bucket" in exp
+
+
+def test_prf_second_pass_reaches_expansion_only_docs(spark):
+    df = _prf_corpus(spark)
+    qdf = spark.createDataFrame(
+        [("q1", "hash join")], "query_id string, text string"
+    )
+    out = rp.prf_topk(df, qdf, fb_docs=2, fb_terms=3, k=10).collect()
+    ids = {r.doc_id for r in out}
+    assert 3 in ids   # matches only expansion terms -> found by pass 2
+    assert 4 not in ids
+
+
+def test_prf_no_expansion_equals_plain_bm25(spark):
+    """fb_terms=0 -> the second pass scores the original query."""
+    df = _prf_corpus(spark)
+    qdf = spark.createDataFrame(
+        [("q1", "hash join")], "query_id string, text string"
+    )
+    got = {
+        r.doc_id: (r.bm25, r.rank)
+        for r in rp.prf_topk(df, qdf, fb_docs=2, fb_terms=0, k=10).collect()
+    }
+    dlen = scorer.doc_lengths(df)
+    base = scorer.score_candidates(
+        scorer.doc_term_frequencies(df), dlen,
+        scorer.corpus_stats(dlen), qdf,
+    ).select("doc_id", F.round("bm25", 6).alias("bm25"))
+    exp = {
+        r.doc_id: r.bm25
+        for r in base.collect()
+    }
+    assert set(got) == set(exp)
+    for d, v in exp.items():
+        assert abs(got[d][0] - v) < 1e-12
