@@ -438,3 +438,94 @@ def q_conversation_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = retrieval_plus.conversation_topk(scored, k=10, score_col="bm25")
     return out.select("conv_id", "conv_score", "best_turn_idx", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Static-rank blending — BM25 + weighted PageRank prior
+# ---------------------------------------------------------------------------
+
+BLEND_WEIGHT = 200.0
+
+
+def _blend_oracle() -> str:
+    # scoring skeleton + the recursive-CTE PageRank graph (shared with the
+    # pagerank pair) + the linear blend; RECURSIVE must mark the WITH once
+    from .entry_queries_graph import SQL_GRAPH
+
+    skel = SQL_SKELETON.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return skel + ",\n" + SQL_GRAPH + f"""
+SELECT doc_id, bm25, prior, blended, rank FROM (
+  SELECT p.doc_id, round(p.bm25, 6) AS bm25, round(f.rank, 6) AS prior,
+         round(p.bm25 + {BLEND_WEIGHT} * f.rank, 6) AS blended,
+         row_number() OVER (
+           ORDER BY round(p.bm25 + {BLEND_WEIGHT} * f.rank, 6) DESC, p.doc_id ASC
+         )::INT AS rank
+  FROM perdoc p JOIN pr_final f ON f.node = p.doc_id
+) WHERE rank <= 20
+"""
+
+
+@register("blended_pagerank_topk", _blend_oracle())
+def q_blended_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 blended with a weighted PageRank prior (the linear serving
+    shape of the reference's LTR feature combination, types.go:50-89).
+    Graph + damping/iterations shared with the pagerank pair; rank on
+    the 6-dp-rounded blend for engine portability."""
+    from .entry_queries_graph import DAMPING, ITERS, _doc_graph
+    from .operators import pagerank as pr_mod
+
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark),
+    ).select("query_id", "doc_id", "bm25")
+    nodes, edges = _doc_graph(docs)
+    prior = pr_mod.pagerank_table(
+        nodes, edges, damping=DAMPING, iterations=ITERS
+    ).select(F.col("node").alias("doc_id"), F.col("pagerank").alias("prior"))
+    out = retrieval_plus.blended_topk(
+        sc, prior, weight=BLEND_WEIGHT, k=1000, prior_col="prior"
+    )
+    w = Window.orderBy(F.desc(F.round("blended", 6)), F.asc("doc_id"))
+    return (
+        out.select(
+            "doc_id", _r("bm25").alias("bm25"), _r("prior").alias("prior"),
+            _r("blended").alias("blended"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-histogram facet over the candidate set
+# ---------------------------------------------------------------------------
+
+ORACLE_TIME_HIST = SQL_SKELETON + """
+SELECT bucket_start, n_docs FROM (
+  SELECT strftime(date_trunc('minute',
+           TIMESTAMP '2025-01-01 00:00:00' + c.doc_id * INTERVAL 1 SECOND),
+           '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         count(*)::BIGINT AS n_docs
+  FROM cand c
+  GROUP BY 1
+)
+"""
+
+
+@register("time_histogram", ORACLE_TIME_HIST)
+def q_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-histogram facet of the candidate set by turn timestamp
+    (minute buckets). The transcript synthesis assigns
+    ts = 2025-01-01T00:00:00 + doc_id seconds (replicas=1 bijection),
+    which the oracle reconstructs arithmetically."""
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    conv = F.regexp_extract("conv_id", r"conv_(\d+)", 1).cast("long")
+    docs = t.select(
+        (conv * 8 + F.col("turn_idx")).alias("doc_id"), "text", "ts"
+    )
+    out = retrieval_plus.time_histogram(
+        docs, _queries_df(spark), ts_col="ts", bucket="minute"
+    )
+    return out.select("bucket_start", "n_docs")

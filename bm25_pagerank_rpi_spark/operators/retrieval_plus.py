@@ -475,3 +475,85 @@ def conversation_topk_from_index(
     return conversation_topk(scored, k=k, score_col="bm25").select(
         "query_id", "conv_id", "conv_score", "best_turn_idx", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Static-rank blending and time histograms
+# ---------------------------------------------------------------------------
+
+
+def blended_topk(
+    scored: DataFrame,
+    prior: DataFrame,
+    weight: float = 0.5,
+    k: int = 20,
+    score_col: str = "bm25",
+    prior_col: str = "prior",
+) -> DataFrame:
+    """Blend a query-dependent score with a query-INDEPENDENT prior.
+
+    blended = score + weight * prior, ranked (blended desc, doc_id asc).
+    The prior is any per-doc static rank — PageRank, recency decay,
+    quality score (the reference feeds PageRank into its LTR features,
+    types.go:50-89; this is the direct linear-blend serving shape).
+
+    ``prior`` joins AFTER scoring on doc_id (left join, missing -> 0),
+    so the blend adds one join against a relation of corpus cardinality
+    — broadcastable when the prior is top-sliced, shuffle-on-doc_id
+    otherwise (well-distributed key).
+    """
+    out = (
+        scored.join(
+            prior.select(
+                F.col("doc_id"), F.col(prior_col).alias("_prior")
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn("prior", F.coalesce(F.col("_prior"), F.lit(0.0)))
+        .withColumn("blended", F.col(score_col) + F.lit(weight) * F.col("prior"))
+        .drop("_prior")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("blended"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def time_histogram(
+    docs: DataFrame,
+    queries: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "minute",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, bucket_start, n_docs): date-histogram facet of the
+    candidate set (docs matching >=1 query term), bucketed by
+    ``date_trunc(bucket, ts)``. ``bucket_start`` is a formatted string
+    so results are engine/timezone-portable.
+
+    Same candidate semi-join shape as facet_counts; the histogram is one
+    hash aggregate on (query_id, bucket) — low cardinality keys, but the
+    map-side partial agg collapses each partition to #buckets rows
+    before the exchange, so the shuffle is tiny at any corpus size.
+    """
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    qterms = scorer.query_term_occurrences(queries).select("query_id", "term").distinct()
+    cand = (
+        dtf.select("term", "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    meta = cand.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")),
+        "doc_id",
+    )
+    return (
+        meta.groupBy(
+            "query_id",
+            F.date_format(F.date_trunc(bucket, F.col("_ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -313,3 +313,67 @@ def test_prf_no_expansion_equals_plain_bm25(spark):
     assert set(got) == set(exp)
     for d, v in exp.items():
         assert abs(got[d][0] - v) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# blended_topk
+# ---------------------------------------------------------------------------
+
+
+def test_blended_prior_reorders(spark):
+    scored = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 1.5), ("q1", 3, 1.0)],
+        "query_id string, doc_id long, bm25 double",
+    )
+    prior = spark.createDataFrame(
+        [(2, 1.0), (3, 0.1)], "doc_id long, prior double"
+    )
+    out = {
+        r.doc_id: r
+        for r in rp.blended_topk(scored, prior, weight=1.0, k=3).collect()
+    }
+    # doc2: 1.5 + 1.0 = 2.5 beats doc1: 2.0 + 0 (missing prior -> 0)
+    assert out[2].rank == 1 and abs(out[2].blended - 2.5) < 1e-12
+    assert out[1].rank == 2 and out[1].prior == 0.0
+    assert out[3].rank == 3 and abs(out[3].blended - 1.1) < 1e-12
+
+
+def test_blended_zero_weight_keeps_order(spark):
+    scored = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 3.0)],
+        "query_id string, doc_id long, bm25 double",
+    )
+    prior = spark.createDataFrame([(1, 99.0)], "doc_id long, prior double")
+    out = sorted(
+        rp.blended_topk(scored, prior, weight=0.0, k=2).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in out] == [2, 1]
+
+
+# ---------------------------------------------------------------------------
+# time_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_time_histogram_buckets(spark):
+    rows = [
+        (1, "hash join", "2025-03-01 10:00:05"),
+        (2, "hash scan", "2025-03-01 10:00:59"),
+        (3, "join", "2025-03-01 10:02:30"),
+        (4, "nothing relevant", "2025-03-01 10:03:00"),  # not a candidate
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    qdf = spark.createDataFrame(
+        [("q1", "hash join")], "query_id string, text string"
+    )
+    got = {
+        r.bucket_start: r.n_docs
+        for r in rp.time_histogram(df, qdf, bucket="minute").collect()
+    }
+    assert got == {
+        "2025-03-01 10:00:00": 2,
+        "2025-03-01 10:02:00": 1,
+    }
