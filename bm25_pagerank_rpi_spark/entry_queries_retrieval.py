@@ -529,3 +529,195 @@ def q_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _queries_df(spark), ts_col="ts", bucket="minute"
     )
     return out.select("bucket_start", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Typo-tolerant retrieval (deletion-neighborhood fuzzy matching)
+# ---------------------------------------------------------------------------
+
+# one real misspelling per trigger class: deletion (batc -> batch),
+# substitution (jorn -> join), plus a second query to pin per-query grouping
+FUZZY_QUERIES = [("q1", "batc jorn"), ("q2", "ustomer")]
+
+ORACLE_FUZZY = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qraw AS (
+  SELECT * FROM (VALUES ('q1', 'batc'), ('q1', 'jorn'), ('q2', 'ustomer'))
+  AS v(query_id, qterm)
+),
+vocab AS (SELECT DISTINCT term FROM doc_tf),
+qexp AS (
+  SELECT DISTINCT q.query_id, v.term
+  FROM qraw q JOIN vocab v ON levenshtein(q.qterm, v.term) <= 1
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT term FROM qexp) GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM tdf
+),
+scored AS (
+  SELECT e.query_id, dt.doc_id,
+         sum(i.idf * (dt.tf * {_K1P1}) /
+             (dt.tf + {K1} * ({_1MB} + {B} * (dl.doc_length / s.avg_doc_length)))) AS bm25
+  FROM qexp e
+  JOIN doc_tf dt ON dt.term = e.term
+  JOIN idf i ON i.term = e.term
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(bm25, 6) DESC, doc_id ASC
+         )::INT AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register("fuzzy_topk", ORACLE_FUZZY)
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25: SymSpell deletion-neighborhood candidate
+    generation + exact levenshtein verify, expanded terms scored as a
+    plain disjunction (each matched term keeps its own idf). Oracle
+    brute-forces the vocab x qterm levenshtein join (small scale);
+    rank on the 6-dp-rounded score for engine portability."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(FUZZY_QUERIES, "query_id string, text string")
+    out = retrieval_plus.fuzzy_topk(docs, queries, k=1000)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    return (
+        out.select("query_id", "doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring search via trigram index
+# ---------------------------------------------------------------------------
+
+# long patterns exercise the trigram prefilter (one crosses a word
+# boundary); 'qu' exercises the short-pattern scan path
+SUBSTRING_PATTERNS = [
+    ("q1", "ustom"), ("q2", "w sca"), ("q3", "agg"), ("q4", "qu"),
+]
+
+ORACLE_SUBSTRING = """
+SELECT p.query_id, d.doc_id
+FROM (VALUES ('q1', 'ustom'), ('q2', 'w sca'), ('q3', 'agg'), ('q4', 'qu'))
+     AS p(query_id, pat), documents d
+WHERE contains(lower(d.text), p.pat)
+"""
+
+
+@register("substring_search", ORACLE_SUBSTRING)
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-shaped substring search: trigram-index conjunctive
+    prefilter + exact instr verify; short (<3 char) patterns take the
+    direct scan branch. Oracle is the ground-truth contains() scan."""
+    docs = _docs(spark, sf_dir)
+    pats = spark.createDataFrame(
+        SUBSTRING_PATTERNS, "query_id string, text string"
+    )
+    return retrieval_plus.substring_search(docs, pats)
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete (term suggest)
+# ---------------------------------------------------------------------------
+
+SUGGEST_PREFIXES = [("p1", "s"), ("p2", "wind"), ("p3", "b")]
+
+ORACLE_SUGGEST = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+)
+SELECT query_id, term, df, rank FROM (
+  SELECT p.query_id, v.term, v.df,
+         row_number() OVER (
+           PARTITION BY p.query_id ORDER BY v.df DESC, v.term ASC
+         )::INT AS rank
+  FROM (VALUES ('p1', 's'), ('p2', 'wind'), ('p3', 'b')) AS p(query_id, prefix)
+  JOIN vocab v ON v.term LIKE p.prefix || '%'
+) WHERE rank <= 5
+"""
+
+
+@register("suggest_terms", ORACLE_SUGGEST)
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete from the corpus vocabulary, df-ranked.
+    Equi-join on substring(term, 1, len(prefix)) — no nested-loop."""
+    docs = _docs(spark, sf_dir)
+    prefixes = spark.createDataFrame(
+        SUGGEST_PREFIXES, "query_id string, text string"
+    )
+    return retrieval_plus.suggest_terms(docs, prefixes, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Boolean NOT exclusion
+# ---------------------------------------------------------------------------
+
+NOT_NEG_TEXT = "batch merge"
+
+ORACLE_NOT = SQL_SKELETON + f"""
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (
+           ORDER BY round(bm25, 6) DESC, doc_id ASC
+         )::INT AS rank
+  FROM perdoc
+  WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM toks
+    WHERE term IN ({", ".join(repr(t) for t in NOT_NEG_TEXT.split())})
+  )
+) WHERE rank <= 20
+"""
+
+
+@register("bm25_not_topk", ORACLE_NOT)
+def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with '-term' exclusion: canonical query, docs containing
+    'batch' or 'merge' anti-joined out before ranking."""
+    from .entry_queries import QUERY_TEXT
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q1", QUERY_TEXT, NOT_NEG_TEXT)],
+        "query_id string, text string, neg_text string",
+    )
+    out = retrieval_plus.bm25_not_topk(docs, queries, k=1000)
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id"))
+    return (
+        out.select("doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )

@@ -557,3 +557,280 @@ def time_histogram(
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Typo-tolerant retrieval (SymSpell-style deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+
+def _deletion_variants(rel: DataFrame, term_col: str = "term") -> DataFrame:
+    """Explode each term into {term} ∪ {term minus one char}.
+
+    The SymSpell candidate-generation trick (Garbe's public symspell
+    algorithm): two terms are within Levenshtein distance 1 iff their
+    1-deletion neighborhoods (including the terms themselves) intersect
+    — substitution deletes the differing position from both sides,
+    insertion/deletion makes one side a variant of the other. The
+    neighborhood join OVER-generates (e.g. transposed bigrams collide),
+    so matches are verified with an exact ``levenshtein`` after the
+    equi-join; it never under-generates for distance <= 1.
+    """
+    variants = F.array_union(
+        F.array(F.col(term_col)),
+        F.expr(
+            f"transform(sequence(1, length({term_col})), i ->"
+            f" concat(substring({term_col}, 1, i - 1),"
+            f" substring({term_col}, i + 1, length({term_col}))))"
+        ),
+    )
+    return rel.select(
+        "*", F.explode(variants).alias("_variant")
+    )
+
+
+def fuzzy_term_matches(
+    vocab: DataFrame,
+    queries: DataFrame,
+    max_edits: int = 1,
+) -> DataFrame:
+    """(query_id, qterm, term, dist): index terms within ``max_edits``
+    (Levenshtein) of each query term.
+
+    ``vocab`` is the corpus's distinct-term relation (term [, df]) —
+    at scale the precomputed, persisted deletion-neighborhood index of
+    the term dictionary (vocabulary cardinality, NOT posting
+    cardinality, so the explode is a few × |vocab| rows). Candidate
+    pairs come from an equi-join on the shared variant key — never a
+    vocab × query cross product — and are verified with the exact
+    JVM-side ``levenshtein``. max_edits > 1 chains deletions; only 1 is
+    implemented (the standard serving choice).
+    """
+    if max_edits != 1:
+        raise ValueError("only max_edits=1 is supported")
+    qv = _deletion_variants(
+        queries.select("query_id", F.col("term").alias("qterm")), "qterm"
+    )
+    vv = _deletion_variants(vocab.select("term"), "term")
+    return (
+        qv.join(vv, qv["_variant"] == vv["_variant"])
+        .select("query_id", "qterm", "term")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term"))
+        .filter(F.col("dist") <= max_edits)
+    )
+
+
+def fuzzy_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k with typo-tolerant term matching (edit distance <= 1).
+
+    Each query term expands to the vocabulary terms within Levenshtein
+    distance 1 (``fuzzy_term_matches``); the union of matched terms —
+    deduplicated, each with multiplicity 1 — is scored as a plain BM25
+    disjunction (each matched term keeps ITS OWN idf, the standard
+    fuzzy-scoring choice). Query terms with no vocabulary match drop
+    out; a query with zero matches returns no rows.
+
+    Scale shape: vocabulary-sized deletion index (broadcastable vs
+    posting volume), then the ordinary broadcast-query scoring path —
+    no new shuffle beyond ``score_candidates``.
+    """
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    stats = scorer.corpus_stats(dlen)
+    qterms = (
+        scorer.query_term_occurrences(queries)
+        .select("query_id", "term").distinct()
+    )
+    matched = fuzzy_term_matches(dtf.select("term").distinct(), qterms)
+    # rebuild a query-text relation from the expanded term set:
+    # sort_array pins determinism; scoring is term-order independent
+    fuzzy_queries = (
+        matched.groupBy("query_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias("text"))
+    )
+    scored = scorer.score_candidates(dtf, dlen, stats, fuzzy_queries)
+    return scorer.topk(scored.select("query_id", "doc_id", "bm25"), k)
+
+
+# ---------------------------------------------------------------------------
+# Substring search via trigram index (pg_trgm-style)
+# ---------------------------------------------------------------------------
+
+
+def text_trigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, trigram): distinct sliding character 3-grams of the
+    lowercased text — the trigram INDEX relation (persist it next to the
+    postings at scale; computed inline here). Docs shorter than 3 chars
+    produce no rows."""
+    tri = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)),"
+            f" i -> substring(lower({text_col}), i, 3))"
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tri).alias("trigram")
+    )
+
+
+def substring_search(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id): docs whose lowercased text contains the
+    (lowercased) pattern as a contiguous substring.
+
+    pg_trgm's two-phase shape: (1) candidate generation — a doc can
+    contain the pattern only if its trigram set covers ALL pattern
+    trigrams (any contiguous substring's trigrams are a subset of the
+    string's), counted via one broadcast join + agg on the trigram
+    index; (2) exact verification — ``instr`` on the candidate rows
+    only. Correctness never depends on phase 1; it only prunes the
+    verification scan from |corpus| to |candidates|. Patterns shorter
+    than 3 characters skip phase 1 (no trigram to prune with) and scan.
+    """
+    pats = patterns.select(
+        "query_id", F.lower(F.col("text")).alias("_pat")
+    )
+    short = pats.filter(F.length("_pat") < 3)
+    long = pats.filter(F.length("_pat") >= 3)
+
+    ptri = (
+        long.select(
+            "query_id", "_pat",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(_pat) - 2),"
+                        " i -> substring(_pat, i, 3))"
+                    )
+                )
+            ).alias("trigram"),
+        )
+    )
+    n_tri = ptri.groupBy("query_id", "_pat").agg(
+        F.count(F.lit(1)).alias("_n_tri")
+    )
+    cand = (
+        text_trigrams(docs, id_col, text_col)
+        .join(F.broadcast(ptri), "trigram")
+        .groupBy("query_id", "_pat", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+        .join(F.broadcast(n_tri), ["query_id", "_pat"])
+        .filter(F.col("_n_hit") == F.col("_n_tri"))
+        .select("query_id", "_pat", "doc_id")
+    )
+    verified = (
+        cand.join(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")),
+            "doc_id",
+        )
+        .filter(F.instr(F.lower(F.col("_txt")), F.col("_pat")) > 0)
+        .select("query_id", "doc_id")
+    )
+    # short patterns: direct scan filter (cross join against the tiny
+    # broadcast pattern side). Pattern lengths aren't knowable at plan
+    # time without an action, so the union is unconditional; with no
+    # short patterns the broadcast side is empty and the branch emits
+    # nothing.
+    scanned = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+        .crossJoin(F.broadcast(short))
+        .filter(F.instr(F.lower(F.col("_txt")), F.col("_pat")) > 0)
+        .select("query_id", "doc_id")
+    )
+    return verified.unionByName(scanned)
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete and boolean NOT
+# ---------------------------------------------------------------------------
+
+
+def suggest_terms(
+    docs: DataFrame,
+    prefixes: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, term, df, rank): top-n completions of each prefix from
+    the corpus vocabulary, ranked by document frequency (df desc, term
+    asc — the standard suggest ordering).
+
+    The vocabulary relation (term, df) is one agg over the posting
+    relation; the prefix probe is a broadcast join against the tiny
+    prefix side, keyed on ``substring(term, 1, len(prefix))`` — an
+    EQUI-join (prefix length is a column of the broadcast side), so no
+    nested-loop scan. At scale the persisted term dictionary is
+    df-sorted within prefix buckets and this becomes an index range
+    scan."""
+    vocab = (
+        scorer.doc_term_frequencies(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    pats = prefixes.select(
+        "query_id",
+        F.col("text").alias("_prefix"),
+        F.length("text").alias("_plen"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        vocab.join(
+            F.broadcast(pats),
+            F.expr("substring(term, 1, _plen)") == F.col("_prefix"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "term", "df", "rank")
+    )
+
+
+def bm25_not_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k with NOT exclusion: ``queries`` carries (query_id,
+    text, neg_text); docs containing ANY negative term are excluded
+    from that query's candidates BEFORE ranking (the '-term' operator).
+
+    The exclusion is one broadcast semi-join to find excluded
+    (query_id, doc_id) pairs (negative terms are few, their postings
+    stream through the same doc_tf relation) and one left_anti join on
+    the scored relation — no second corpus scan."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    scored = scorer.score_candidates(
+        dtf, dlen, scorer.corpus_stats(dlen),
+        queries.select("query_id", "text"),
+    ).select("query_id", "doc_id", "bm25")
+    neg_terms = (
+        scorer.query_term_occurrences(
+            queries.select("query_id", F.col("neg_text").alias("text"))
+        )
+        .select("query_id", "term")
+        .distinct()
+    )
+    excluded = (
+        dtf.select("term", "doc_id")
+        .join(F.broadcast(neg_terms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    kept = scored.join(excluded, ["query_id", "doc_id"], "left_anti")
+    return scorer.topk(kept, k)

@@ -377,3 +377,140 @@ def test_time_histogram_buckets(spark):
         "2025-03-01 10:00:00": 2,
         "2025-03-01 10:02:00": 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_term_matches_classes(spark):
+    vocab = spark.createDataFrame(
+        [("join",), ("table",), ("hash",), ("ba",)], "term string"
+    )
+    q = spark.createDataFrame(
+        [("q1", "jorn"), ("q1", "tble"), ("q2", "hash"),
+         ("q2", "zzz"), ("q3", "ab")],
+        "query_id string, term string",
+    )
+    got = {
+        (r.query_id, r.qterm, r.term, r.dist)
+        for r in rp.fuzzy_term_matches(vocab, q).collect()
+    }
+    assert ("q1", "jorn", "join", 1) in got      # substitution
+    assert ("q1", "tble", "table", 1) in got     # insertion
+    assert ("q2", "hash", "hash", 0) in got      # exact
+    assert not any(r[1] == "zzz" for r in got)   # no match
+    # transposition is Levenshtein distance 2: candidate generated by the
+    # deletion join ("ab"/"ba" share variants) but killed by the verify
+    assert not any(r[1] == "ab" and r[2] == "ba" for r in got)
+
+
+def test_fuzzy_topk_equals_corrected_query(spark):
+    docs = spark.createDataFrame(
+        [(1, "join table"), (2, "join join scan"), (3, "scan filter")],
+        "doc_id long, text string",
+    )
+    # 'jorn' expands to exactly {join} in this vocab, so fuzzy scoring
+    # must equal plain BM25 of the corrected query
+    fuzzy = rp.fuzzy_topk(
+        docs, spark.createDataFrame([("q1", "jorn")], "query_id string, text string")
+    ).collect()
+    exact = {
+        r.doc_id: r.bm25
+        for r in scorer.topk(
+            scorer.score_candidates(
+                scorer.doc_term_frequencies(docs),
+                scorer.doc_lengths(docs),
+                scorer.corpus_stats(scorer.doc_lengths(docs)),
+                spark.createDataFrame(
+                    [("q1", "join")], "query_id string, text string"
+                ),
+            ).select("query_id", "doc_id", "bm25")
+        ).collect()
+    }
+    got = {r.doc_id: r.bm25 for r in fuzzy}
+    assert set(got) == set(exact) == {1, 2}
+    for d in got:
+        assert abs(got[d] - exact[d]) < 1e-12
+
+
+def test_fuzzy_no_match_returns_empty(spark):
+    docs = spark.createDataFrame([(1, "join table")], "doc_id long, text string")
+    q = spark.createDataFrame([("q1", "qqqqqq")], "query_id string, text string")
+    assert rp.fuzzy_topk(docs, q).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# substring search
+# ---------------------------------------------------------------------------
+
+
+def test_substring_search_matches_python_in(spark):
+    rows = [
+        (1, "hash join table"),
+        (2, "window scan"),
+        (3, "aggregate pipeline"),
+        (4, "HASH JOIN upper"),
+    ]
+    pats = [("p1", "sh jo"), ("p2", "ow sc"), ("p3", "agg"), ("p4", "qu"), ("p5", "zz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = spark.createDataFrame(pats, "query_id string, text string")
+    got = {(r.query_id, r.doc_id) for r in rp.substring_search(docs, pdf).collect()}
+    exp = {
+        (qid, did)
+        for qid, pat in pats
+        for did, txt in rows
+        if pat in txt.lower()
+    }
+    assert got == exp
+    assert ("p1", 1) in exp and ("p1", 4) in exp  # case-folding caught doc 4
+    assert not any(q == "p5" for q, _ in exp)     # no-match pattern
+
+
+# ---------------------------------------------------------------------------
+# suggest_terms / bm25_not_topk
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_ranked_by_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "scan sort scan"), (2, "scan small"), (3, "sort table")],
+        "doc_id long, text string",
+    )
+    pre = spark.createDataFrame([("p1", "s"), ("p2", "ta"), ("p3", "zz")],
+                                "query_id string, text string")
+    got = [
+        (r.query_id, r.term, r.df, r.rank)
+        for r in rp.suggest_terms(docs, pre, n=2)
+        .orderBy("query_id", "rank").collect()
+    ]
+    # df: scan=2 docs, sort=2, small=1 -> top-2 for 's' is (scan, sort)
+    # by the term-asc tie-break; 'ta' -> table; 'zz' -> nothing
+    assert got == [
+        ("p1", "scan", 2, 1), ("p1", "sort", 2, 2), ("p2", "table", 1, 1),
+    ]
+
+
+def test_bm25_not_excludes(spark):
+    docs = spark.createDataFrame(
+        [(1, "join table"), (2, "join batch"), (3, "join merge table")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q1", "join", "batch merge")],
+        "query_id string, text string, neg_text string",
+    )
+    got = {r.doc_id for r in rp.bm25_not_topk(docs, q).collect()}
+    assert got == {1}
+
+
+def test_bm25_not_empty_neg_is_plain(spark):
+    docs = spark.createDataFrame(
+        [(1, "join table"), (2, "join batch")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [("q1", "join", "")], "query_id string, text string, neg_text string"
+    )
+    got = {r.doc_id for r in rp.bm25_not_topk(docs, q).collect()}
+    assert got == {1, 2}

@@ -32,8 +32,12 @@ def run_level(cores: int, replicas: int, sf_dir: str) -> dict:
         BENCH_INDEX_DIR=f"{base}/index_c{cores}",
         SPARK_GRAFT_LOCAL_DIR=f"{base}/local_c{cores}",
         # resources scale WITH the cluster: a 4N-executor cluster has 4x
-        # the total memory, so the stand-in JVM heap scales per core
-        SPARK_DRIVER_MEM=f"{max(int(1.5 * cores), 8)}g",
+        # the total memory, so the stand-in JVM heap scales per core. A
+        # uniform 4g/core keeps the two legs PROPORTIONAL — the previous
+        # 1.5g/core with an 8g floor silently gave the lo leg 4g/core but
+        # the hi leg 1.5g/core, handicapping the allocation-heavy encode
+        # stages at 4N and understating scaling (run-5 diagnosis)
+        SPARK_DRIVER_MEM=f"{max(4 * cores, 8)}g",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
