@@ -614,3 +614,91 @@ LEFT JOIN (
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — deterministic augmented input (the synthetic corpus has
+# no PII, so both sides append identical fictional PII by doc_id class)
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' reach user' || doc_id || '@example.com now'
+           WHEN doc_id % 7 = 1 THEN ' ssn on file 123-45-6789 ok'
+           WHEN doc_id % 7 = 2 THEN ' call (555) 123-4567 today'
+           WHEN doc_id % 7 = 3 THEN ' host 10.0.0.1 and 255.255.255.0 up'
+           ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_oracle() -> str:
+    pats = dict((n, p) for n, p, _ in textstats.PII_PATTERNS)
+    toks = dict((n, t) for n, _, t in textstats.PII_PATTERNS)
+    red = "text"
+    for name, _, _ in textstats.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pats[name]}', '{toks[name]}', 'g')"
+    counts = ",\n  ".join(
+        f"length(regexp_extract_all(text, '{pats[name]}'))::INT AS n_{name}"
+        for name, _, _ in textstats.PII_PATTERNS
+    )
+    return f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+  {red} AS text_redacted,
+  {counts}
+FROM aug
+"""
+
+
+@register("pii_scrub", _pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction battery (email/IPv4/SSN/phone) as a zero-shuffle
+    codegen projection; RE2-safe patterns shared verbatim with the
+    DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" reach user"), did.cast("string"),
+                            F.lit("@example.com now")))
+            .when(did % 7 == 1, F.lit(" ssn on file 123-45-6789 ok"))
+            .when(did % 7 == 2, F.lit(" call (555) 123-4567 today"))
+            .when(did % 7 == 3, F.lit(" host 10.0.0.1 and 255.255.255.0 up"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(aug)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split
+# ---------------------------------------------------------------------------
+
+ORACLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN h < 8000 THEN 'train'
+            WHEN h < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {phash_sql("'split-v1-' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+  FROM documents
+)
+"""
+
+
+@register("dataset_split", ORACLE_SPLIT)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment as a pure function of
+    (salt, doc_id) via the portable 60-bit hash — stable across runs,
+    partitionings, and corpus growth (unlike randomSplit)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = textstats.dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split")

@@ -129,3 +129,80 @@ def fingerprints(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
         .agg(F.min("h").alias("min_shingle_hash"))
     )
     return content.join(min_sh, "doc_id", "left")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and deterministic dataset splitting
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no backrefs/lookaround) so the DuckDB oracle uses the SAME
+# patterns; \b and the classes below behave identically in Java regex
+# and RE2 on ASCII input. Order matters: emails first (their local part
+# can contain digits), then IPs (before phones, which could eat the
+# first 10 digits of a dotted quad), then SSNs, then phones.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "[PHONE]"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_redacted, n_email, n_ipv4, n_ssn, n_phone): redact
+    the standard PII battery and count what was removed.
+
+    Pure Catalyst — a chain of ``regexp_count`` + ``regexp_replace``
+    projections inside one whole-stage-codegen span; at 100 TB this is
+    a scan-bound map with zero shuffle (the training-data scrub pass
+    runs as a projection on ingest). Counts are computed BEFORE any
+    replacement, on the raw text, so pattern order affects only the
+    redacted string, never the counts."""
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )
+    red = F.col("_t")
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a deterministic ``split`` column (train/val/test/...) by
+    hashing the row id — the standard leakage-safe dataset partition.
+
+    Assignment: ``phash(salt || id) % 10_000`` lands in cumulative
+    weight buckets, so membership is a pure function of (salt, id) —
+    stable across runs, cluster sizes, and row order, and any row keeps
+    its split when the corpus grows (unlike randomSplit, whose
+    assignment depends on partitioning). Weights are normalized;
+    boundaries use integer basis points. Zero shuffle — one projection.
+    """
+    total = sum(weights.values())
+    names, bounds, acc = [], [], 0
+    for name, w in weights.items():
+        acc += w
+        names.append(name)
+        bounds.append(int(round(acc / total * 10_000)))
+    bounds[-1] = 10_000  # rounding guard: last bucket absorbs residue
+    h = F.pmod(phash(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))), F.lit(10_000))
+    expr = F.lit(names[-1])
+    for name, hi in zip(reversed(names[:-1]), reversed(bounds[:-1])):
+        expr = F.when(h < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

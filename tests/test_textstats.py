@@ -73,3 +73,54 @@ def test_fingerprints_stability(spark):
     for k in fp:
         assert fp[k].content_hash == again[k].content_hash
         assert fp[k].min_shingle_hash == again[k].min_shingle_hash
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub / dataset_split
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from bm25_pagerank_rpi_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and sue@test.org end"),
+            (2, "ssn 123-45-6789 phone (555) 123-4567"),
+            (3, "server 10.0.0.1 clean text"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ts.pii_scrub(docs).collect()}
+    assert got[1].n_email == 2 and "[EMAIL]" in got[1].text_redacted
+    assert "bob@example.com" not in got[1].text_redacted
+    assert got[2].n_ssn == 1 and got[2].n_phone == 1
+    assert "[SSN]" in got[2].text_redacted and "[PHONE]" in got[2].text_redacted
+    assert got[3].n_ipv4 == 1 and "[IP]" in got[3].text_redacted
+    assert got[4].text_redacted == "nothing sensitive here"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_ssn, got[4].n_phone) == (0, 0, 0, 0)
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from bm25_pagerank_rpi_spark.operators import textstats as ts
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in ts.dataset_split(df, w).collect()}
+    b = {r.doc_id: r.split for r in ts.dataset_split(df.repartition(7), w).collect()}
+    assert a == b  # pure function of (salt, id): partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.03
+    assert abs(c["val"] / 2000 - 0.1) < 0.02
+    assert abs(c["test"] / 2000 - 0.1) < 0.02
+    # growing the corpus never reassigns an existing row
+    big = {
+        r.doc_id: r.split
+        for r in ts.dataset_split(
+            spark.range(0, 4000).withColumnRenamed("id", "doc_id"), w
+        ).collect()
+    }
+    assert all(big[d] == s for d, s in a.items())
