@@ -289,6 +289,61 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deletion (tombstone + purge) on the served index: delete every turn_idx=2
+# document from the driver index (streaming/deletes.py), compact (purges the
+# tombstones and re-encodes), then answer via WAND. Post-compaction the
+# catalog is score-identical to an index of the reduced corpus, so the
+# oracle is the scoring skeleton with the victims excluded from BOTH corpus
+# scans (doc_id = conv*8 + turn under replicas=1, so turn 2 <=> doc_id%8=2).
+# Pre-compaction masking semantics (frozen stats) are pinned by
+# tests/test_deletes.py — no portable SQL twin exists for frozen df.
+# ---------------------------------------------------------------------------
+
+ORACLE_AFTER_DELETE = _sql_skeleton(QUERY_TERMS, where="doc_id % 8 <> 2") + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+"""
+
+
+@register("wand_topk_after_delete", ORACLE_AFTER_DELETE)
+def q_wand_topk_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators import wand as wand_mod
+    from .plans.index_build import build_index
+    from .sources.transcripts import synthesize_transcripts
+    from .streaming.deletes import delete_where
+    from .streaming.incremental import compact
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # own cache dir (the shared wand index must stay un-deleted); on a
+    # reused dir the build resumes instantly, delete_where matches zero
+    # live docs (already purged) and the compact is skipped — idempotent
+    idx_dir = f"/tmp/driver_del_index_v1_{tag}"
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cat = build_index(spark, t, idx_dir, n_buckets=8)
+    if delete_where(cat, F.col("turn_idx") == 2):
+        compact(cat)
+    out = wand_mod.wand_topk(cat, _queries_df(spark), k=1000)
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"), _r("bm25").alias("bm25")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4 — TF stats  /  A5 — normalized-TF stats  /  A6 — TF-IDF stats  /
 # A8 — covered-term count+ratio, all per candidate doc
 # ---------------------------------------------------------------------------

@@ -189,6 +189,9 @@ def phrase_topk_from_index(cat: IndexCatalog, terms: list[str], k: int = 20) -> 
     pruned = post.filter(F.col("bucket").isin(buckets)).select(
         "term", "doc_int", "doc_length", "positions"
     )
+    # tombstone masking (Lucene-style deletes, sources/catalog.py)
+    if cat.n_deletes():
+        pruned = pruned.join(F.broadcast(cat.deletes()), "doc_int", "left_anti")
     matched = phrase_tf_from_positions(pruned, terms)
     out = _score_and_rank(
         matched.withColumnRenamed("doc_int", "doc_id"), cat.corpus_stats(), k

@@ -30,7 +30,13 @@ def pruned_postings(cat: IndexCatalog, queries: DataFrame) -> DataFrame:
     n_buckets = int(cat.read_manifest()["config"]["n_buckets"])
     qterms, buckets = _query_buckets(cat, queries, n_buckets)
     post = cat.postings().filter(F.col("bucket").isin(buckets))
-    return post.join(F.broadcast(qterms), "term")
+    post = post.join(F.broadcast(qterms), "term")
+    # tombstone masking (Lucene-style deletes, sources/catalog.py): a
+    # broadcast anti-join on the bounded deletes table; no-op (and no
+    # extra scan) when the manifest records zero live tombstones
+    if cat.n_deletes():
+        post = post.join(F.broadcast(cat.deletes()), "doc_int", "left_anti")
+    return post
 
 
 def rank_from_index(

@@ -58,8 +58,21 @@ RANKED_SCHEMA = "query_id string, doc_int long, bm25 double, rank int"
 TAIL_TERMS_PER_SHARD = 32
 
 
+def _live_keep_mask(d: np.ndarray, deleted: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask over doc ids ``d`` against a SORTED tombstone
+    array, or None when nothing needs masking. O(|d| log |deleted|)."""
+    if deleted is None or deleted.size == 0 or d.size == 0:
+        return None
+    idx = np.minimum(np.searchsorted(deleted, d), deleted.size - 1)
+    return deleted[idx] != d
+
+
 def _score_one_query(
-    pdf: pd.DataFrame, k: int, slack_pos: float = 0.0, slack_neg: float = 0.0
+    pdf: pd.DataFrame,
+    k: int,
+    slack_pos: float = 0.0,
+    slack_neg: float = 0.0,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Run impact-ordered pruned scoring for one query's block set.
 
@@ -112,6 +125,13 @@ def _score_one_query(
             if parts_d:
                 d_all = np.concatenate(parts_d)
                 s_all = np.concatenate(parts_s)
+                # tombstone masking at ADMISSION time: a deleted doc must
+                # never occupy a top-k slot (it would displace a live doc
+                # from the shard's candidate set). AND-mode below only adds
+                # to already-admitted candidates, so this is the one gate.
+                keep = _live_keep_mask(d_all, deleted)
+                if keep is not None:
+                    d_all, s_all = d_all[keep], s_all[keep]
                 # merge into sorted accumulator
                 merged_docs = np.concatenate([cand_docs, d_all])
                 merged_scores = np.concatenate([cand_scores, s_all])
@@ -152,7 +172,9 @@ def _score_one_query(
     return d[order], s[order]
 
 
-def _accumulate_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _accumulate_all(
+    pdf: pd.DataFrame, deleted: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Exact unpruned accumulation of a block set — used for the
     corpus-global tail shard(s), whose total posting volume is bounded by
     (#tail query terms x max df of tail-routed terms). With exact head
@@ -171,6 +193,9 @@ def _accumulate_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     d_all = np.concatenate(parts_d)
     s_all = np.concatenate(parts_s)
+    keep = _live_keep_mask(d_all, deleted)
+    if keep is not None:
+        d_all, s_all = d_all[keep], s_all[keep]
     uniq, inv = np.unique(d_all, return_inverse=True)
     acc = np.zeros(uniq.size)
     np.add.at(acc, inv, s_all)
@@ -185,16 +210,20 @@ def _kth_guarantee(scores: np.ndarray, tail_neg: float, k: int) -> float:
     return float(np.partition(guaranteed, -k)[-k])
 
 
-def _make_wand_fn(k: int, slack: dict[str, tuple[float, float]]):
+def _make_wand_fn(
+    k: int,
+    slack: dict[str, tuple[float, float]],
+    deleted: np.ndarray | None = None,
+):
     # full type hints: pyspark's group_ops inspects the signature and emits
     # a UserWarning per run when they are missing
     def fn(key: tuple[str, int], pdf: pd.DataFrame) -> pd.DataFrame:
         query_id, range_id = key  # key = (query_id, range_id)
         if int(range_id) < 0:  # tail shard (possibly hash-sub-sharded)
-            docs, scores = _accumulate_all(pdf)
+            docs, scores = _accumulate_all(pdf, deleted)
         else:
             sp, sn = slack.get(query_id, (0.0, 0.0))
-            docs, scores = _score_one_query(pdf, k, sp, sn)
+            docs, scores = _score_one_query(pdf, k, sp, sn, deleted)
         return pd.DataFrame(
             {"query_id": query_id, "doc_int": docs, "bm25": scores}
         )
@@ -261,6 +290,7 @@ def wand_topk(
     return _execute_plan(
         spark, plan, _blocks_with_range(cat),
         cat.doc_meta().select("doc_int", "doc_id"), k,
+        deleted=cat.deleted_doc_ints(),
     )
 
 
@@ -387,6 +417,7 @@ def _execute_plan(
     all_blocks: DataFrame,
     meta: DataFrame,
     k: int,
+    deleted: "np.ndarray | None" = None,
 ) -> DataFrame:
     qt_df = spark.createDataFrame(
         plan.qt, "query_id string, term string, weight double"
@@ -412,7 +443,7 @@ def _execute_plan(
             ).otherwise(F.col("range_id")),
         )
     partial = blocks.groupBy("query_id", "range_id").applyInPandas(
-        _make_wand_fn(k, plan.slack), WAND_SCHEMA
+        _make_wand_fn(k, plan.slack, deleted), WAND_SCHEMA
     )
     # a doc's score may be split between its doc-range shard and the
     # tail shard(s); contributions are disjoint by construction (each
@@ -477,6 +508,10 @@ class WandSession:
                 self._saved_conf[key] = spark.conf.get(key)
                 spark.conf.set(key, val)
         self.meta = cat.doc_meta().select("doc_int", "doc_id").persist()
+        # tombstones snapshot: queries in this session mask the delete set
+        # as of session open (the reference API's load-once consistency
+        # model); call refresh_deletes() after out-of-band deletions
+        self.deleted = cat.deleted_doc_ints()
         self._preloaded = preload_blocks
         if preload_blocks:
             from pyspark import StorageLevel
@@ -517,7 +552,9 @@ class WandSession:
             plan = _plan_spark(spark, queries, self.terms)
         if plan is None:
             return _empty_result(spark)
-        return _execute_plan(spark, plan, self.blocks, self.meta, k)
+        return _execute_plan(
+            spark, plan, self.blocks, self.meta, k, deleted=self.deleted
+        )
 
     def topk_text(self, query_id: str, text: str, k: int = MAX_DOCUMENTS) -> DataFrame:
         """Single-query serving entry: with driver-side stats the ONLY
@@ -527,11 +564,20 @@ class WandSession:
             plan = _plan_local([(query_id, text)], self._stats)
             if plan is None:
                 return _empty_result(spark)
-            return _execute_plan(spark, plan, self.blocks, self.meta, k)
+            return _execute_plan(
+                spark, plan, self.blocks, self.meta, k, deleted=self.deleted
+            )
         q = spark.createDataFrame(
             [(query_id, text)], "query_id string, text string"
         )
         return self.topk(q, k)
+
+    def refresh_deletes(self) -> None:
+        """Re-read the tombstone set (after streaming.deletes.delete_docs
+        ran against the catalog this session serves). Cheap: one collect
+        of the bounded deletes table; the block/meta caches stay warm —
+        deleted docs are masked at decode time, not purged from caches."""
+        self.deleted = self.cat.deleted_doc_ints()
 
     def close(self) -> None:
         if self.terms is not None:

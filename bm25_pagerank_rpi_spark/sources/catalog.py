@@ -124,6 +124,53 @@ class IndexCatalog:
         avgdl = float(row.avg_doc_length) if row.avg_doc_length is not None else 0.0
         return int(row.doc_count), avgdl
 
+    # -- tombstones ---------------------------------------------------------
+    # Lucene-style deletion model: deleting a document appends its doc_int
+    # to the `deletes` table; postings/blocks/doc_meta rows stay on disk
+    # until the next full compaction purges them (streaming/deletes.py).
+    # Between compactions every query path masks tombstoned docs; per-term
+    # df/idf stay FROZEN at their encode-time values (deleted docs still
+    # count, exactly as Lucene keeps them in docFreq until segment merge),
+    # while corpus_stats tracks the LIVE corpus so avgdl drift from heavy
+    # deletion trips the same epsilon compaction gate as heavy insertion.
+
+    def n_deletes(self) -> int:
+        """Live tombstone count from the manifest — a local JSON read, so
+        the zero-deletes hot path costs no Spark job and no table scan."""
+        return int(self.read_manifest().get("n_deletes", 0))
+
+    def deletes(self) -> DataFrame:
+        """Tombstone relation (doc_int: long). Empty frame if none exist."""
+        if self.n_deletes() and os.path.exists(self.path("deletes")):
+            return self.read("deletes").select("doc_int")
+        return self.spark.createDataFrame([], "doc_int long")
+
+    def deleted_doc_ints(self):
+        """Sorted int64 numpy array of tombstoned doc_ints, or None when
+        there are none — the form the WAND kernels mask with (docs live
+        inside encoded blocks there, so a relational anti-join cannot
+        reach them). Driver-side collect: the set is bounded between
+        compactions (compaction purges it back to zero); on a real
+        cluster the same array ships once per query as part of the
+        applyInPandas closure — for extreme churn a roaring bitmap
+        broadcast variable is the drop-in upgrade at this seam."""
+        import numpy as np
+
+        if not self.n_deletes():
+            return None
+        vals = [r.doc_int for r in self.deletes().collect()]
+        if not vals:
+            return None
+        return np.sort(np.asarray(vals, dtype=np.int64))
+
+    def live_doc_meta(self) -> DataFrame:
+        """doc_meta minus tombstoned rows — what corpus statistics and any
+        full-corpus consumer should read between delete and purge."""
+        dm = self.doc_meta()
+        if self.n_deletes():
+            return dm.join(F.broadcast(self.deletes()), "doc_int", "left_anti")
+        return dm
+
 
 def _has_parquet_files(path: str) -> bool:
     """True if any parquet data file exists under ``path`` (recursively).

@@ -111,7 +111,7 @@ def append_segment(cat: IndexCatalog, batch: DataFrame, n_buckets: int = 32) -> 
     )
     post.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
 
-    stats = cat.doc_meta().agg(
+    stats = cat.live_doc_meta().agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.avg("doc_length").alias("avg_doc_length"),
     )
@@ -219,8 +219,15 @@ def _config(cat: IndexCatalog) -> tuple[int, int, int, int]:
 
 def compact(cat: IndexCatalog) -> None:
     """Full re-encode of every block under the CURRENT avg_doc_length —
-    restores exact-BM25 parity with a from-scratch build. O(corpus);
-    runs only when drift exceeds epsilon (or on the first ingest)."""
+    restores exact-BM25 parity with a from-scratch build of the LIVE
+    corpus. O(corpus); runs only when drift exceeds epsilon (or on the
+    first ingest). Purges tombstones first (streaming/deletes.py), so the
+    re-encode below reads only live postings and the rebuilt terms table
+    unfreezes df/idf to live values — the segment-merge half of the
+    Lucene deletion model."""
+    from .deletes import purge_deletes
+
+    purge_deletes(cat)
     n_buckets, block_size, range_rows, tail_df_threshold = _config(cat)
     _, avgdl = cat.scalar_stats()
     blocks = _encode_postings(
