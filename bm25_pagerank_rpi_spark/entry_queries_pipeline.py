@@ -599,6 +599,110 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Repetition battery (Gopher-style dup-token / top-bigram / dup-trigram
+# fractions) and n-gram train/eval contamination — the two curation ops a
+# 100 TB pretraining pipeline runs right after quality scoring.
+# ---------------------------------------------------------------------------
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB expression for space-joined token n-grams over list ``t``
+    (1-based) — the SQL twin of textstats._ngrams_col."""
+    parts = " || ' ' || ".join(f"t[i+{k}]" if k else "t[i]" for k in range(n))
+    return f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {parts})"
+
+
+ORACLE_REPETITION = rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t)::INT AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN (len(t) - len(list_distinct(t)))::DOUBLE / len(t)
+              ELSE 0.0 END AS dup_token_frac,
+         t
+  FROM tok
+),
+g2 AS (
+  SELECT doc_id, u.g FROM base, unnest({_ngram_sql(2)}) AS u(g)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, u.g FROM base, unnest({_ngram_sql(3)}) AS u(g)
+  WHERE len(t) >= 3
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+s3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_trigram_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT b.doc_id, n_tokens,
+       round(dup_token_frac, 6) AS dup_token_frac,
+       round(coalesce(top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(dup_trigram_frac, 0.0), 6) AS dup_trigram_frac
+FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
+@register("text_repetition", ORACLE_REPETITION)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.repetition_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens",
+        _r("dup_token_frac").alias("dup_token_frac"),
+        _r("top_bigram_frac").alias("top_bigram_frac"),
+        _r("dup_trigram_frac").alias("dup_trigram_frac"),
+    )
+
+
+_CONTAM_N = 5  # testdata docs are a few dozen tokens; 8+ is the prod default
+
+ORACLE_CONTAMINATION = rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, u.g
+  FROM tok, unnest(list_distinct({_ngram_sql(_CONTAM_N)})) AS u(g)
+  WHERE len(t) >= {_CONTAM_N}
+),
+bench AS (
+  SELECT DISTINCT u.g
+  FROM tok, unnest({_ngram_sql(_CONTAM_N)}) AS u(g)
+  WHERE doc_id % 50 = 0 AND len(t) >= {_CONTAM_N}
+),
+hit AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS n_contaminated
+  FROM ex GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       coalesce(n_ngrams, 0)::INT AS n_ngrams,
+       coalesce(n_contaminated, 0)::INT AS n_contaminated,
+       round(CASE WHEN coalesce(n_ngrams, 0) > 0
+                  THEN n_contaminated::DOUBLE / n_ngrams
+                  ELSE 0.0 END, 6) AS contamination_frac
+FROM tok LEFT JOIN hit USING (doc_id)
+"""
+
+
+@register("ngram_contamination", ORACLE_CONTAMINATION)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = textstats.ngram_contamination(docs, bench, n=_CONTAM_N)
+    return out.select(
+        "doc_id", "n_ngrams", "n_contaminated",
+        _r("contamination_frac").alias("contamination_frac"),
+    )
+
+
 @register(
     "text_fingerprint",
     rf"""

@@ -15,6 +15,11 @@ except the final aggregations a caller adds.
                      deterministic tie order.
   fingerprint      — 60-bit content hash + min-shingle (winnowing-style)
                      hash for copy detection across re-crawls.
+  repetition_features — Gopher-style within-doc repetition battery
+                     (dup-token / top-bigram / dup-trigram fractions).
+  ngram_contamination — train/eval n-gram overlap (decontamination).
+  pii_scrub        — email/IP/SSN/phone redaction + counts.
+  dataset_split    — deterministic leakage-safe train/val/test split.
 
 All regexes use portable POSIX-ish classes so the DuckDB oracle matches
 byte-for-byte.
@@ -175,6 +180,113 @@ def pii_scrub(
         "doc_id",
         red.alias("text_redacted"),
         *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+    )
+
+
+def _ngrams_col(tokens: Column, n: int) -> Column:
+    """Space-joined token n-grams as an array column. Empty array for
+    docs shorter than n (sequence(0, negative) would DESCEND — guarded)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+    dup_trigram_frac) — the Gopher-style within-document repetition
+    battery (Rae et al. 2021 §A1.1: "fraction of characters in the most
+    common n-gram" / "fraction of characters in duplicated n-grams",
+    here over T1 tokens):
+
+      dup_token_frac   — 1 - distinct/total tokens
+      top_bigram_frac  — occurrences of the most frequent 2-gram / all
+                         2-gram occurrences
+      dup_trigram_frac — fraction of 3-gram occurrences whose gram
+                         appears more than once
+
+    Shape at scale: per-doc n-gram histograms via explode + two-level
+    hash agg on (doc_id, gram) — partial (map-side combine) then final,
+    ONE shuffle keyed by doc_id+gram so no doc concentrates a task; the
+    alternative per-row array fold is O(distinct x len) per doc and
+    blows up on long documents. Zero Python at runtime."""
+    toks = tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _ratio(
+            F.size(toks) - F.size(F.array_distinct(toks)), F.size(toks)
+        ).alias("dup_token_frac"),
+        _ngrams_col(toks, 2).alias("_g2"),
+        _ngrams_col(toks, 3).alias("_g3"),
+    )
+
+    def _gram_stats(col: str, agg: Column, out: str) -> DataFrame:
+        cnt = (
+            base.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return cnt.groupBy("doc_id").agg(agg.alias(out))
+
+    top2 = _gram_stats(
+        "_g2", F.max("c").cast("double") / F.sum("c"), "top_bigram_frac"
+    )
+    dup3 = _gram_stats(
+        "_g3",
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+        / F.sum("c"),
+        "dup_trigram_frac",
+    )
+    return (
+        base.select("doc_id", "n_tokens", "dup_token_frac")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_contaminated, contamination_frac) — the
+    standard train/test decontamination check (GPT-3 appendix C shape):
+    for each training document, the fraction of its DISTINCT token
+    n-grams that also occur anywhere in the benchmark corpus.
+
+    ``benchmark`` is any (doc_id, text) relation holding the held-out
+    eval sets. Eval sets are small by definition, so the benchmark's
+    distinct n-gram set broadcasts and the probe is a map-side hash
+    join against the (far larger) training scan — no shuffle of the
+    training side. Docs shorter than n yield n_ngrams = 0, frac 0.0."""
+    toks = tokens_col("text")
+    d = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(_ngrams_col(toks, n))).alias("g"),
+    )
+    bench = (
+        benchmark.select(F.explode(_ngrams_col(toks, n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = d.join(F.broadcast(bench), "g", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.col("g")).cast("int").alias("n_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias("n_contaminated"),
+        _ratio(F.coalesce(F.sum("_hit"), F.lit(0)), F.count(F.col("g"))).alias(
+            "contamination_frac"
+        ),
     )
 
 

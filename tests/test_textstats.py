@@ -124,3 +124,60 @@ def test_dataset_split_deterministic_and_proportional(spark):
         ).collect()
     }
     assert all(big[d] == s for d, s in a.items())
+
+
+def _py_ngrams(toks, n):
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_repetition_features(spark):
+    got = {
+        r.doc_id: r
+        for r in textstats.repetition_features(_docs(spark)).collect()
+    }
+    from collections import Counter
+
+    for doc_id, text in ROWS:
+        toks = text.split()
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        dup_tok = (len(toks) - len(set(toks))) / len(toks) if toks else 0.0
+        assert r.dup_token_frac == pytest.approx(dup_tok, abs=1e-12)
+        g2 = Counter(_py_ngrams(toks, 2))
+        top2 = max(g2.values()) / sum(g2.values()) if g2 else 0.0
+        assert r.top_bigram_frac == pytest.approx(top2, abs=1e-12)
+        g3 = Counter(_py_ngrams(toks, 3))
+        dup3 = (
+            sum(c for c in g3.values() if c > 1) / sum(g3.values()) if g3 else 0.0
+        )
+        assert r.dup_trigram_frac == pytest.approx(dup3, abs=1e-12)
+    # the degenerate all-same doc is maximally repetitive
+    assert got[7].dup_token_frac == pytest.approx(11 / 12, abs=1e-12)
+    assert got[7].top_bigram_frac == 1.0 and got[7].dup_trigram_frac == 1.0
+
+
+def test_ngram_contamination(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # contains bench 5-gram "c d e f g"
+            (2, "x y z w v u"),            # no overlap
+            (3, "c d e f g h"),            # shares "c d e f g"
+            (4, "too short"),              # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q q c d e f g q q")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in textstats.ngram_contamination(docs, bench, n=5).collect()
+    }
+    assert got[1].n_ngrams == 3 and got[1].n_contaminated == 1
+    assert got[1].contamination_frac == pytest.approx(1 / 3, abs=1e-12)
+    assert got[2].n_contaminated == 0 and got[2].contamination_frac == 0.0
+    assert got[3].n_ngrams == 2 and got[3].n_contaminated == 1
+    assert got[4].n_ngrams == 0 and got[4].contamination_frac == 0.0
+    # a doc IS its own contamination if it appears in the benchmark
+    self_hit = textstats.ngram_contamination(bench, bench, n=5).collect()[0]
+    assert self_hit.contamination_frac == 1.0
