@@ -811,6 +811,56 @@ def q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Proximity search — minimal covering span over the query terms (unordered;
+# the relaxation between exact phrase and conjunctive AND). Oracle runs the
+# same ordered sweep with SQL window functions: tightest window ending at
+# position p reaches back to the stalest per-term last-occurrence.
+# ---------------------------------------------------------------------------
+
+PROX_TERMS = ['hash', 'join', 'table']
+_PROX_WINDOW = 12
+
+ORACLE_PROXIMITY = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, g.i - 1 AS pos, t[g.i] AS term
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+  WHERE t[g.i] IN ('hash', 'join', 'table')
+),
+lasts AS (
+  SELECT doc_id, pos,
+         max(CASE WHEN term = 'hash' THEN pos END) OVER w AS l0,
+         max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
+         max(CASE WHEN term = 'table' THEN pos END) OVER w AS l2
+  FROM pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+),
+spans AS (
+  SELECT doc_id, pos - least(l0, l1, l2) + 1 AS span
+  FROM lasts WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+),
+m AS (SELECT doc_id, min(span)::INT AS min_span FROM spans GROUP BY doc_id)
+SELECT doc_id, min_span, rank FROM (
+  SELECT doc_id, min_span,
+         row_number() OVER (ORDER BY min_span ASC, doc_id ASC)::INT AS rank
+  FROM m WHERE min_span <= {_PROX_WINDOW}
+) WHERE rank <= 20
+"""
+
+
+@register("proximity_topk", ORACLE_PROXIMITY)
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import phrase
+
+    return phrase.proximity_topk(
+        _docs(spark, sf_dir), PROX_TERMS, window=_PROX_WINDOW, k=20
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship for entry(): BM25 top-20 on sf0.001 documents
 # ---------------------------------------------------------------------------
 

@@ -721,3 +721,53 @@ def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Significant terms (JLH): terms overrepresented in the query's top-20
+# result set vs the whole corpus — "what is this result set about".
+# ---------------------------------------------------------------------------
+
+ORACLE_SIG_TERMS = SQL_SKELETON + """
+, fg AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rn
+    FROM perdoc
+  ) WHERE rn <= 20
+),
+fg_n AS (SELECT count(*) AS n FROM fg),
+fg_df AS (
+  SELECT term, count(DISTINCT doc_id) AS fg_df
+  FROM doc_tf WHERE doc_id IN (SELECT doc_id FROM fg)
+  GROUP BY term
+),
+bg_df AS (
+  SELECT term, count(DISTINCT doc_id) AS bg_df
+  FROM doc_tf WHERE term IN (SELECT term FROM fg_df)
+  GROUP BY term
+),
+sig AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         (f.fg_df::DOUBLE / (SELECT n FROM fg_n)
+          - b.bg_df::DOUBLE / (SELECT doc_count FROM stats))
+         * ((f.fg_df::DOUBLE / (SELECT n FROM fg_n))
+            / (b.bg_df::DOUBLE / (SELECT doc_count FROM stats))) AS score
+  FROM fg_df f JOIN bg_df b USING (term)
+  WHERE f.term NOT IN (SELECT DISTINCT term FROM qterms)
+)
+SELECT term, fg_df::BIGINT AS fg_df, bg_df::BIGINT AS bg_df, score, rank FROM (
+  SELECT term, fg_df, bg_df, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, term ASC)::INT AS rank
+  FROM sig
+) WHERE rank <= 15
+"""
+
+
+@register("significant_terms", ORACLE_SIG_TERMS)
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = retrieval_plus.significant_terms(
+        _docs(spark, sf_dir), _queries_df(spark), fg_docs=20, n_terms=15
+    )
+    return out.select(
+        "term", "fg_df", "bg_df", _r("score").alias("score"), "rank"
+    )

@@ -208,3 +208,108 @@ def _buckets_of(cat: IndexCatalog, terms: list[str], n_buckets: int) -> list[int
         *[term_bucket(F.lit(t), n_buckets).alias(f"b{i}") for i, t in enumerate(terms)]
     ).collect()[0]
     return sorted({int(v) for v in row})
+
+
+# ---------------------------------------------------------------------------
+# Proximity search: minimal covering span over the query terms
+# ---------------------------------------------------------------------------
+
+def _min_cover_span(rel: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, min_span) over a (doc_id, term, pos) relation: the length
+    of the SHORTEST token window containing every distinct query term.
+
+    Classic ordered sweep as ONE window pass: walking positions in order,
+    the tightest window ending at position p spans from the most stale
+    per-term last-occurrence to p — so per distinct term t we carry
+    max(pos where term=t) over (doc partition, rows unbounded preceding),
+    and min over rows of (pos - least(lasts) + 1) is the global minimum.
+    Cost: the window runs over only the query terms' occurrence rows
+    (sum of their tfs per doc), not the document — the shuffle key is
+    doc_id but the per-doc row count is query-bounded."""
+    distinct = sorted(set(terms))
+    if not distinct:
+        raise ValueError("proximity query needs at least one term")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"_l{i}")
+        for i, t in enumerate(distinct)
+    ]
+    df = rel.select("doc_id", "pos", *lasts)
+    cond = F.lit(True)
+    for i in range(len(distinct)):
+        cond = cond & F.col(f"_l{i}").isNotNull()
+    stale = (
+        F.least(*[F.col(f"_l{i}") for i in range(len(distinct))])
+        if len(distinct) > 1
+        else F.col("_l0")
+    )
+    span = F.col("pos") - stale + 1
+    return (
+        df.filter(cond)
+        .groupBy("doc_id")
+        .agg(F.min(span).cast("int").alias("min_span"))
+    )
+
+
+def proximity_topk(
+    docs: DataFrame, terms: list[str], window: int, k: int = 20
+) -> DataFrame:
+    """(doc_id, min_span, rank): documents containing ALL distinct query
+    terms within a token window of at most ``window`` tokens, ranked
+    tightest-first (min_span asc, doc_id asc) — unordered proximity, the
+    relaxation between exact phrase (span == len(terms), order fixed)
+    and conjunctive AND (span unbounded). From raw (doc_id, text)."""
+    toks = tokens_col("text")
+    rel = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).filter(F.col("term").isin(sorted(set(terms))))
+    return _rank_spans(_min_cover_span(rel, terms), window, k)
+
+
+def proximity_topk_from_index(
+    cat: IndexCatalog, terms: list[str], window: int, k: int = 20
+) -> DataFrame:
+    """Proximity search over a positional index — scan cost is the query
+    terms' posting lists only (bucket partition-prune + term predicate),
+    the same serving shape as phrase_topk_from_index. Result-identical
+    to :func:`proximity_topk` on the same corpus (pinned by
+    tests/test_phrase.py)."""
+    post = cat.postings()
+    if "positions" not in post.columns:
+        raise ValueError(
+            "index has no positions column — rebuild with "
+            "build_index(..., with_positions=True) to serve proximity queries"
+        )
+    n_buckets = int(cat.read_manifest()["config"]["n_buckets"])
+    distinct = sorted(set(terms))
+    buckets = _buckets_of(cat, distinct, n_buckets)
+    pruned = (
+        post.filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(distinct))
+        .select("term", "doc_int", "positions")
+    )
+    if cat.n_deletes():
+        pruned = pruned.join(F.broadcast(cat.deletes()), "doc_int", "left_anti")
+    rel = pruned.select(
+        F.col("doc_int").alias("doc_id"), "term",
+        F.explode("positions").alias("pos"),
+    )
+    ranked = _rank_spans(
+        _min_cover_span(rel, terms), window, k
+    ).withColumnRenamed("doc_id", "doc_int")
+    meta = cat.doc_meta().select("doc_int", "doc_id")
+    return ranked.join(meta, "doc_int").select("doc_id", "min_span", "rank")
+
+
+def _rank_spans(spans: DataFrame, window: int, k: int) -> DataFrame:
+    w = Window.orderBy(F.asc("min_span"), F.asc("doc_id"))
+    return (
+        spans.filter(F.col("min_span") <= window)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "min_span", "rank")
+    )

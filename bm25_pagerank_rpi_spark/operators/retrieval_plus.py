@@ -834,3 +834,76 @@ def bm25_not_topk(
     )
     kept = scored.join(excluded, ["query_id", "doc_id"], "left_anti")
     return scorer.topk(kept, k)
+
+
+def significant_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    fg_docs: int = 20,
+    n_terms: int = 15,
+) -> DataFrame:
+    """(query_id, term, fg_df, bg_df, score, rank) — significant-terms
+    aggregation (Elasticsearch's JLH heuristic): terms statistically
+    OVERREPRESENTED in a query's result set relative to the whole corpus
+    — "what is this result set about", the standard guided-navigation /
+    topic-drilldown primitive. Unlike prf_expansion_terms (tf-mass
+    weighting for recall), this contrasts foreground vs background
+    document frequencies, so corpus-common terms score near zero however
+    often they appear in the results.
+
+    Foreground = top ``fg_docs`` by (rounded bm25 desc, doc_id asc).
+    With fg% = fg_df/|fg| and bg% = bg_df/N:  score = (fg% - bg%) *
+    (fg% / bg%)  (JLH: absolute lift x relative lift). Original query
+    terms are excluded; ranked by (rounded score desc, term asc).
+
+    Scale shape: the foreground id set is #queries x fg_docs rows ->
+    broadcast semi-join prunes the corpus scan to foreground postings;
+    the background df agg is corpus-wide BUT pruned to the foreground
+    vocabulary by broadcasting the (foreground-vocab-sized) fg_df
+    relation into it — on an indexed catalog, read bg_df straight from
+    cat.terms() instead and skip that aggregate entirely."""
+    dtf = scorer.doc_term_frequencies(docs)
+    dlen = scorer.doc_lengths(docs)
+    stats = scorer.corpus_stats(dlen)
+    scored = scorer.score_candidates(dtf, dlen, stats, queries)
+    w_fg = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    fg = (
+        scored.withColumn("rn", F.row_number().over(w_fg))
+        .filter(F.col("rn") <= fg_docs)
+        .select("query_id", "doc_id")
+    )
+    fg_n = fg.groupBy("query_id").agg(F.count(F.lit(1)).alias("fg_n"))
+    fg_df = (
+        dtf.join(F.broadcast(fg), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.countDistinct("doc_id").alias("fg_df"))
+    )
+    bg_df = (
+        dtf.join(F.broadcast(fg_df.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("bg_df"))
+    )
+    qterms = (
+        scorer.query_term_occurrences(queries)
+        .select("query_id", "term")
+        .distinct()
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n")
+    bg_pct = F.col("bg_df").cast("double") / F.col("doc_count")
+    out = (
+        fg_df.join(F.broadcast(fg_n), "query_id")
+        .join(bg_df, "term")
+        .join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
+        .crossJoin(F.broadcast(stats.select("doc_count")))
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("term")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= n_terms)
+        .select("query_id", "term", "fg_df", "bg_df", "score", "rank")
+    )

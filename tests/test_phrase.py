@@ -164,3 +164,59 @@ def test_phrase_requires_positions(spark, corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="positions"):
         phrase.phrase_topk_from_index(cat, ["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# proximity (minimal covering span)
+# ---------------------------------------------------------------------------
+
+
+def test_proximity_min_span_closed_form(spark):
+    from bm25_pagerank_rpi_spark.operators.phrase import proximity_topk
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a x x b"),             # span a..b = 4
+            ("d2", "b a"),                 # unordered: span 2
+            ("d3", "a x x x x x x x b"),   # span 9 (> window)
+            ("d4", "a a b a"),             # best span = 2 ("b a" / "a b"? -> a@1,b@2)
+            ("d5", "a only"),              # missing b -> no match
+            ("d6", "b b b"),               # missing a -> no match
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in proximity_topk(docs, ["a", "b"], window=5).collect()}
+    assert set(got) == {"d1", "d2", "d4"}
+    assert got["d1"].min_span == 4
+    assert got["d2"].min_span == 2
+    assert got["d4"].min_span == 2
+    # rank: tightest first, doc_id tie-break
+    assert got["d2"].rank == 1 and got["d4"].rank == 2 and got["d1"].rank == 3
+    # single-term proximity degenerates to presence with span 1
+    one = {r.doc_id: r.min_span for r in proximity_topk(docs, ["b"], window=1).collect()}
+    assert one == {"d1": 1, "d2": 1, "d3": 1, "d4": 1, "d6": 1}
+
+
+def test_proximity_index_path_parity(spark, corpus, tmp_path):
+    from bm25_pagerank_rpi_spark.operators.phrase import (
+        proximity_topk,
+        proximity_topk_from_index,
+    )
+
+    cat = build_index(
+        spark,
+        transcripts_df(spark, corpus),
+        str(tmp_path / "pidx"),
+        n_buckets=4,
+        block_size=8,
+        range_rows=16,
+        with_positions=True,
+    )
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id string, text string"
+    )
+    # pick two terms that co-occur in this seeded corpus
+    terms = ["hello,", "world!"]
+    raw = {(r.doc_id, r.min_span) for r in proximity_topk(docs, terms, window=30, k=50).collect()}
+    idx = {(r.doc_id, r.min_span) for r in proximity_topk_from_index(cat, terms, window=30, k=50).collect()}
+    assert raw == idx

@@ -514,3 +514,41 @@ def test_bm25_not_empty_neg_is_plain(spark):
     )
     got = {r.doc_id for r in rp.bm25_not_topk(docs, q).collect()}
     assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# significant_terms (JLH foreground-vs-background contrast)
+# ---------------------------------------------------------------------------
+
+
+def test_significant_terms_jlh(spark):
+    import pytest
+
+    # 6 docs; query "alpha" matches d1..d3 (the foreground with fg_docs>=3);
+    # "rare" rides only foreground docs, "common" rides every doc.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha rare common x1"),
+            (2, "alpha alpha rare common x2"),
+            (3, "alpha rare common x3"),
+            (4, "common other y1"),
+            (5, "common other y2"),
+            (6, "common other y3"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([("q1", "alpha")], "query_id string, text string")
+    got = {
+        r.term: r
+        for r in rp.significant_terms(docs, q, fg_docs=3, n_terms=10).collect()
+    }
+    assert "alpha" not in got  # query terms excluded
+    # rare: fg 3/3, bg 3/6 -> (1 - 0.5) * (1/0.5) = 1.0
+    assert got["rare"].fg_df == 3 and got["rare"].bg_df == 3
+    assert got["rare"].score == pytest.approx(1.0, abs=1e-12)
+    # common: fg 3/3, bg 6/6 -> (1 - 1) * 1 = 0 (corpus-wide term scores 0)
+    assert got["common"].score == pytest.approx(0.0, abs=1e-12)
+    # rare outranks common
+    assert got["rare"].rank < got["common"].rank
+    # background-only terms never appear (no fg_df row)
+    assert "other" not in got
