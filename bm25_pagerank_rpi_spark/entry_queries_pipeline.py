@@ -806,3 +806,71 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return out.select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion of lexical BM25 and embedding ANN
+# (retrieval_plus.rrf_fusion). doc_id and vec_id share the id domain in the
+# driver testdata, standing in for a corpus with both text and embeddings.
+# ---------------------------------------------------------------------------
+
+from .entry_queries import SQL_SKELETON, _queries_df  # noqa: E402
+from .operators import retrieval_plus, scorer  # noqa: E402
+
+_RRF_C = 60
+_HYBRID_LEG_K = 30
+
+ORACLE_HYBRID = SQL_SKELETON + f"""
+, bm25_top AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+    FROM perdoc
+  ) WHERE rank <= {_HYBRID_LEG_K}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ann_top AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY round({_COS.format(a='qv', b='e.v')}, 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+  ) WHERE rank <= {_HYBRID_LEG_K}
+),
+un AS (
+  SELECT doc_id, rank FROM bm25_top
+  UNION ALL
+  SELECT doc_id, rank FROM ann_top
+),
+f AS (
+  SELECT doc_id, sum(1.0 / ({_RRF_C} + rank)) AS rrf_score,
+         count(*) AS n_systems
+  FROM un GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_systems, rank FROM (
+  SELECT doc_id, round(rrf_score, 6) AS rrf_score, n_systems::INT AS n_systems,
+         row_number() OVER (ORDER BY round(rrf_score, 6) DESC, doc_id ASC)::INT AS rank
+  FROM f
+) WHERE rank <= 20
+"""
+
+
+@register("hybrid_rrf_topk", ORACLE_HYBRID)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark),
+    ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    bm25 = scorer.topk(sc, _HYBRID_LEG_K).select("query_id", "doc_id", "rank")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann = similarity.brute_force_topk(emb, [0], k=_HYBRID_LEG_K).select(
+        F.lit("q1").alias("query_id"), F.col("vec_id").alias("doc_id"), "rank"
+    )
+    out = retrieval_plus.rrf_fusion([bm25, ann], k=20, c=_RRF_C)
+    return out.select(
+        "doc_id", _r("rrf_score").alias("rrf_score"), "n_systems", "rank"
+    )

@@ -907,3 +907,49 @@ def significant_terms(
         .filter(F.col("rank") <= n_terms)
         .select("query_id", "term", "fg_df", "bg_df", "score", "rank")
     )
+
+
+def rrf_fusion(
+    rankings: list[DataFrame], k: int = 20, c: int = 60
+) -> DataFrame:
+    """(query_id, doc_id, rrf_score, n_systems, rank) — reciprocal-rank
+    fusion (Cormack, Clarke & Buettcher, SIGIR 2009): score(d) =
+    sum over systems of 1 / (c + rank_sys(d)), c = 60 per the paper.
+
+    THE merge step of hybrid search (lexical BM25 x embedding ANN):
+    fusing in rank space needs no score calibration between systems
+    whose score scales are incomparable. Each input relation must carry
+    (query_id, doc_id, rank); docs missing from a system simply
+    contribute nothing for it (the standard convention).
+
+    Scale shape: a unionAll of already-truncated top-k relations
+    (#queries x k rows each), one hash agg, one per-query window —
+    every input is post-truncation, so fusion cost is independent of
+    corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    parts = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))).alias(
+                "rrf"
+            ),
+        )
+        for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    scored = un.groupBy("query_id", "doc_id").agg(
+        F.sum("rrf").alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("rrf_score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "n_systems", "rank")
+    )

@@ -552,3 +552,32 @@ def test_significant_terms_jlh(spark):
     assert got["rare"].rank < got["common"].rank
     # background-only terms never appear (no fg_df row)
     assert "other" not in got
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion (hybrid-search merge)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_closed_form(spark):
+    import pytest
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q1", 30, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [("q1", 20, 1), ("q1", 40, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = {r.doc_id: r for r in rp.rrf_fusion([lex, sem], k=10, c=60).collect()}
+    # doc 20 appears in both systems: 1/62 + 1/61
+    assert got[20].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=1e-12)
+    assert got[20].n_systems == 2 and got[20].rank == 1
+    # single-system docs keep their reciprocal rank
+    assert got[10].rrf_score == pytest.approx(1 / 61, abs=1e-12)
+    assert got[40].rrf_score == pytest.approx(1 / 62, abs=1e-12)
+    # rank 1 beats rank 2 within a system; cross-system consensus wins all
+    assert got[10].rank == 2 and got[40].rank == 3 and got[30].rank == 4
+    order = sorted(got.values(), key=lambda r: r.rank)
+    assert [r.doc_id for r in order] == [20, 10, 40, 30]
