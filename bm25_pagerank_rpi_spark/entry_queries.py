@@ -861,6 +861,41 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Query language: parse 'terms "phrase" -not field:value' and compose the
+# corpus filter (field -> stats of the filtered corpus), candidate gates
+# (phrase / NOT) and BM25 scoring into one plan (operators/query_language.py).
+# ---------------------------------------------------------------------------
+
+QL_QUERY = 'key value "table hash" spark -scan lang:en table'
+_QL_TERMS = ["key", "value", "table", "hash", "spark", "table"]
+
+ORACLE_QL = _sql_skeleton(_QL_TERMS, where="lang = 'en'") + """
+, gates AS (
+  SELECT doc_id,
+         ((CASE WHEN len(t) >= 2 THEN
+             len(list_filter(range(1, len(t)),
+                 i -> t[i] = 'table' AND t[i+1] = 'hash'))
+           ELSE 0 END) > 0
+          AND NOT list_contains(t, 'scan')) AS ok
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE lang = 'en')
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT p.doc_id, round(p.bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(p.bm25, 6) DESC, p.doc_id ASC)::INT AS rank
+  FROM perdoc p JOIN gates g ON g.doc_id = p.doc_id AND g.ok
+) WHERE rank <= 20
+"""
+
+
+@register("search_query_language", ORACLE_QL)
+def q_search_query_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.query_language import search
+
+    return search(_docs(spark, sf_dir), QL_QUERY, k=20)
+
+
+# ---------------------------------------------------------------------------
 # Flagship for entry(): BM25 top-20 on sf0.001 documents
 # ---------------------------------------------------------------------------
 
