@@ -88,3 +88,102 @@ def test_encode_block_rejects_duplicates():
             np.array([1, 1], dtype=np.int64),
             np.array([0.1, 0.2]),
         )
+
+
+def _sorted_run(rng, n, nterms, max_doc, tail_frac=0.3):
+    import pandas as pd
+
+    terms = np.array([f"t{i:05d}" for i in range(nterms)], dtype=object)[
+        rng.zipf(1.3, size=n) % nterms
+    ]
+    docs = rng.integers(0, max_doc, size=n)
+    rid = np.where(rng.random(n) < tail_frac, -1, docs // 97)
+    pdf = pd.DataFrame(
+        {
+            "term": terms,
+            "range_id": rid.astype(np.int64),
+            "doc_int": docs.astype(np.int64),
+            "tf": rng.integers(1, 300, size=n).astype(np.int64),
+            "factor": rng.random(n),
+        }
+    )
+    pdf = pdf.drop_duplicates(["term", "range_id", "doc_int"])
+    return pdf.sort_values(
+        ["term", "range_id", "doc_int"], kind="stable"
+    ).reset_index(drop=True)
+
+
+def test_encode_sorted_run_matches_per_group_blocks():
+    """The vectorized whole-run encoder (one varint pass + reduceat bounds)
+    must be byte-identical to blocks_for_term applied per (term, range_id)
+    group — the blocks stage and incremental encoder rely on this."""
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    pdf = _sorted_run(rng, 30_000, 700, 5_000)
+    bs, bpr, base = 16, 7, 2_000  # small blocks: multi-block groups common
+
+    terms = pdf["term"].to_numpy()
+    rids = pdf["range_id"].to_numpy(dtype=np.int64)
+    docs = pdf["doc_int"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    facs = pdf["factor"].to_numpy(dtype=np.float64)
+
+    change = np.empty(len(pdf), dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(pdf))
+    rows = []
+    for s, e in zip(starts, ends):
+        for b in codec.blocks_for_term(
+            docs[s:e], tfs[s:e], facs[s:e], block_size=bs,
+            first_block_id=base + int(rids[s]) * bpr,
+        ):
+            b["term"] = terms[s]
+            b["range_id"] = int(rids[s])
+            b["n_postings"] = b.pop("count")
+            rows.append(b)
+    old = pd.DataFrame(rows)
+
+    new = pd.DataFrame(
+        codec.encode_sorted_run(
+            terms, rids, docs, tfs, facs,
+            block_size=bs, blocks_per_range=bpr, block_id_base=base,
+        )
+    )
+    cols = [
+        "term", "range_id", "block_id", "n_postings", "min_doc", "max_doc",
+        "max_factor", "min_factor", "docs_enc", "tfs_enc", "factors_enc",
+    ]
+    old = old[cols].sort_values(["term", "range_id", "block_id"]).reset_index(drop=True)
+    new = new[cols].sort_values(["term", "range_id", "block_id"]).reset_index(drop=True)
+    assert len(old) == len(new) and len(new) > len(starts)  # multi-block groups hit
+    for c in cols:
+        ov, nv = old[c].to_numpy(), new[c].to_numpy()
+        if c in ("term", "docs_enc", "tfs_enc", "factors_enc"):
+            assert all(a == b for a, b in zip(ov, nv)), c
+        else:
+            assert (ov == nv).all(), c
+    # decoded round-trip on a sample
+    for i in [0, len(new) // 2, len(new) - 1]:
+        d, t, f = codec.decode_block(new.iloc[i].to_dict())
+        assert d.size == new.iloc[i]["n_postings"]
+        assert (np.diff(d) > 0).all() if d.size > 1 else True
+
+
+def test_encode_sorted_run_empty_and_single():
+    out = codec.encode_sorted_run(
+        np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.float64),
+    )
+    assert len(out["term"]) == 0
+    out = codec.encode_sorted_run(
+        np.array(["a"], dtype=object), np.array([-1]), np.array([42]),
+        np.array([3]), np.array([0.5]), block_size=4, blocks_per_range=2,
+        block_id_base=10,
+    )
+    assert list(out["block_id"]) == [10 - 2] and list(out["min_doc"]) == [42]
+    d, t, f = codec.decode_block({k: v[0] for k, v in out.items()})
+    assert list(d) == [42] and list(t) == [3] and list(f) == [0.5]
