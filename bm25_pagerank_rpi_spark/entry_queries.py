@@ -909,3 +909,4 @@ from . import entry_queries_pipeline  # noqa: E402,F401
 from . import entry_queries_graph  # noqa: E402,F401
 from . import entry_queries_ltr  # noqa: E402,F401
 from . import entry_queries_retrieval  # noqa: E402,F401
+from . import entry_queries_eval  # noqa: E402,F401

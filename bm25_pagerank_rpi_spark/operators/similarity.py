@@ -452,3 +452,85 @@ def cosine_dedup_pairs(
     # a pair colliding in several bands is computed per collision (bands
     # is small); distinct collapses the duplicates
     return out.distinct() if bands > 1 else out
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    vecs: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily select k results trading relevance against redundancy,
+
+        MMR_i = argmax_{d not selected} [ lam * rel(d)
+                                          - (1-lam) * max_{s in S} sim(d, s) ]
+
+    the standard result-diversification pass a search engine runs AFTER
+    top-k truncation.
+
+    Inputs: ``cands`` (query_id, doc_id, rel) — a post-truncation pool
+    (tens to hundreds of rows per query, corpus-independent); ``vecs``
+    (vec_id, embedding) for the pooled docs. Greedy selection is
+    inherently sequential in k, so it runs per query inside ONE
+    applyInPandas group over the joined pool — O(pool^2) sims on <=
+    hundreds of rows, while queries parallelize across tasks. Nothing
+    here ever sees the corpus; the expensive part (candidate generation)
+    stays in the distributed BM25/ANN paths.
+
+    Determinism: rel is used as given (callers pass 6-dp-rounded scores),
+    pairwise cosines and the MMR objective round to 6dp before argmax,
+    ties break to the smallest doc_id — the same portable convention as
+    every top-k in this repo, so the DuckDB recursive-CTE oracle matches
+    hash-for-hash.
+
+    Returns (query_id, doc_id, mmr_score, rank) with rank 1..k; the
+    rank-1 row is pure argmax-relevance (its mmr_score is just rel).
+    """
+    import pandas as pd
+
+    pool = cands.join(
+        _vecs(vecs).select(F.col("vec_id").alias("doc_id"), "v"), "doc_id"
+    ).select("query_id", "doc_id", "rel", "v")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "mmr_score": [], "rank": []}
+            )
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(n, dtype=bool)
+        max_sim = np.full(n, -np.inf)
+        for _ in range(min(k, n)):
+            if not selected:
+                obj = rel.copy()
+            else:
+                obj = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+            obj = np.where(remaining, obj, -np.inf)
+            pick = int(np.argmax(obj))  # argmax takes the FIRST max:
+            # rows are doc_id-sorted, so ties resolve to smallest doc_id
+            selected.append(pick)
+            scores.append(float(obj[pick]))
+            remaining[pick] = False
+            max_sim = np.maximum(max_sim, sims[:, pick])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[selected].to_numpy(),
+                "doc_id": pdf["doc_id"].iloc[selected].to_numpy(),
+                "mmr_score": scores,
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    schema = (
+        "query_id string, doc_id long, mmr_score double, rank int"
+    )
+    return pool.groupBy("query_id").applyInPandas(fn, schema)

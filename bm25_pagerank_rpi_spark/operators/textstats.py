@@ -318,3 +318,65 @@ def dataset_split(
     for name, hi in zip(reversed(names[:-1]), reversed(bounds[:-1])):
         expr = F.when(h < hi, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def collocations_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus-level bigram collocation mining by pointwise mutual
+    information — the classic "significant phrase" detector (Church &
+    Hanks 1990) a curation pipeline runs to find multi-word entities
+    worth protecting from tokenization or dedup shingling.
+
+    PMI(w1, w2) = ln( P(w1,w2) / (P(w1) P(w2)) ) with
+    P(w1,w2) = c12 / T (T = total bigrams) and P(w) = c / N
+    (N = total tokens). Rare pairs have unstable PMI, so pairs with
+    c12 < ``min_count`` are dropped (standard practice).
+
+    Shape at scale: one explode + hash agg for unigrams, one zip_with +
+    explode + hash agg for bigrams (both map-side combining, keyed by
+    term — the same key distribution as the posting build, so the same
+    AQE skew handling applies), then two vocab-sized equi-joins and a
+    1-row totals broadcast. No self-joins, nothing quadratic.
+
+    Returns (w1, w2, c12, pmi) — caller ranks/limits.
+    """
+    toks = docs.select(tokens_col("text").alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tail = F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0)))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                "l", tail, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+            )
+        ).alias("p")
+    ).filter(F.col("p.w2").isNotNull())
+    big = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("n_tok")
+    ).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                (F.col("c12") * F.col("n_tok") * F.col("n_tok"))
+                / (F.col("n_big") * F.col("c1") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
