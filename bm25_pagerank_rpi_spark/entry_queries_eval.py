@@ -262,3 +262,46 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (streaming session_window's batch twin) vs the
+# classic gaps-and-islands SQL. 4h gap ~ the events fixture's 25th-pctile
+# inter-event spacing, so sessions genuinely merge AND break.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 4 * 3600
+
+ORACLE_SESSIONS = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts - lag(ts) OVER w) > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end_ts,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM i GROUP BY user_id, sid
+"""
+
+
+@register("events_sessions", ORACLE_SESSIONS)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.turn_stats import sessionized_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionized_stats(ev, gap=f"{_SESSION_GAP_S} seconds")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end_ts", fmt).alias("session_end_ts"),
+        "n_events",
+        _r("sum_value").alias("sum_value"),
+    )

@@ -116,3 +116,39 @@ def conversation_state(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionized_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization: merge a key's events into one session
+    while consecutive events arrive less than ``gap`` apart (Spark
+    ``session_window`` — state per OPEN session only; a session closes,
+    emits, and frees its state once the watermark passes its end).
+
+    Works unchanged on a batch DataFrame (the driver pair's oracle is the
+    classic gaps-and-islands SQL: new island when ts - lag(ts) >= gap).
+
+    Returns (key, session_start, session_end_ts, n_events, sum_value)
+    where session_end_ts is the LAST EVENT's timestamp (engine-portable;
+    the window's own end is last_ts + gap by definition).
+    """
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            key, "session_start", "session_end_ts", "n_events", "sum_value"
+        )
+    )

@@ -107,3 +107,77 @@ def test_conversation_state_resumes_across_runs(spark, tmp_path):
     assert got2["c0"].n_turns == 3
     assert got2["c0"].n_tokens == 7
     assert got2["c0"].max_turn_idx == 2
+
+
+def test_sessionized_stats_batch_islands(spark):
+    from bm25_pagerank_rpi_spark.streaming.turn_stats import sessionized_stats
+
+    # user 1: events at 10:00, 10:10, 10:45 with 15-min gap ->
+    #   {10:00,10:10} (diff 10 <= 15) | {10:45} (diff 35 > 15)
+    # user 2: single event; boundary: diff EXACTLY == gap still MERGES
+    # (session_window's window end is inclusive for the next event)
+    rows = [
+        (1, _ts(0), 1.0),
+        (1, _ts(10), 2.0),
+        (1, _ts(45), 4.0),
+        (2, _ts(5), 8.0),
+        (3, _ts(0), 1.0),
+        (3, _ts(15), 1.0),  # exactly 15 min later -> SAME session
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.session_start.minute): (
+            r.session_end_ts.minute,
+            r.n_events,
+            r.sum_value,
+        )
+        for r in sessionized_stats(ev, gap="15 minutes").collect()
+    }
+    assert got == {
+        (1, 0): (10, 2, 3.0),
+        (1, 45): (45, 1, 4.0),
+        (2, 5): (5, 1, 8.0),
+        (3, 0): (15, 2, 2.0),
+    }
+
+
+def test_sessionized_stats_streaming_matches_batch(spark, tmp_path):
+    from bm25_pagerank_rpi_spark.streaming.turn_stats import sessionized_stats
+
+    in_dir = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    rows = [
+        (1, "u", "a", "none", _ts(0)),
+        (1, "u", "b", "none", _ts(10)),
+        (1, "u", "c", "none", _ts(45)),
+        (2, "u", "d", "none", _ts(5)),
+        # sentinel far in the future: append mode only emits a session
+        # once the watermark passes its END, so without this the last
+        # real session would stay open (correct streaming semantics)
+        (99, "u", "z", "none", datetime.datetime(2025, 1, 2, 10, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(str(u), 0, r, t, tool, ts) for u, r, t, tool, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "ts",
+        F.lit(1.0).alias("value"),
+    )
+    df.coalesce(1).write.parquet(in_dir)
+
+    batch = sessionized_stats(
+        spark.read.parquet(in_dir), gap="15 minutes"
+    ).collect()
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(in_dir)
+    out = _run_until_done(
+        sessionized_stats(stream, gap="15 minutes", watermark="0 seconds"),
+        ckpt,
+        "append",
+    )
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    real = lambda rs: sorted(key(r) for r in rs if r.user_id != 99)  # noqa: E731
+    assert real(out) == real(batch)
