@@ -305,3 +305,47 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         _r("sum_value").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-language extensions: term boost (^w) + numeric range filter.
+# Oracle re-derives the weighted BM25 from the skeleton's occ relation with
+# a per-position weight join — the same additive-over-occurrences algebra
+# the Spark side exploits (one exact-scorer pass per distinct weight).
+# ---------------------------------------------------------------------------
+
+from . import B, K1  # noqa: E402
+from .entry_queries import _sql_skeleton  # noqa: E402
+
+_QLB_QUERY = "key^2 value hash -scan lang:en n_chars:[300 TO 900]"
+_QLB_TERMS = ["key", "value", "hash"]
+_QLB_WHERE = "lang = 'en' AND n_chars BETWEEN 300 AND 900"
+
+ORACLE_QL_BOOSTED = _sql_skeleton(_QLB_TERMS, where=_QLB_WHERE) + f"""
+, wts AS (SELECT * FROM (VALUES (0, 2.0), (1, 1.0), (2, 1.0)) v(pos, w)),
+perdocw AS (
+  SELECT o.doc_id,
+         sum(CASE WHEN o.tf IS NOT NULL AND o.idf IS NOT NULL
+             THEN w.w * o.idf * (o.tf * {K1 + 1.0}) /
+                  (o.tf + {K1} * ({1.0 - B} + {B} * (o.doc_length / o.avg_doc_length)))
+             ELSE 0.0 END) AS bm25
+  FROM occ o JOIN wts w USING (pos) GROUP BY o.doc_id
+),
+gates AS (
+  SELECT doc_id, NOT list_contains(
+           list_filter(string_split(text, ' '), x -> x <> ''), 'scan') AS ok
+  FROM documents WHERE {_QLB_WHERE}
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT p.doc_id, round(p.bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(p.bm25, 6) DESC, p.doc_id ASC)::INT AS rank
+  FROM perdocw p JOIN gates g ON g.doc_id = p.doc_id AND g.ok
+) WHERE rank <= 20
+"""
+
+
+@register("search_query_boosted", ORACLE_QL_BOOSTED)
+def q_search_query_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.query_language import search
+
+    return search(_docs(spark, sf_dir), _QLB_QUERY, k=20)

@@ -6,9 +6,15 @@ search endpoint immediately ask for the standard operators on top, so
 this module parses the Lucene-ish surface syntax and composes the
 operators this repo already has into ONE executable plan:
 
-    hash join "table hash" -scan lang:en
+    hash join "table hash" -scan lang:en key^2 n_chars:[200 TO 5000]
 
   bare terms        score (BM25, occurrence multiplicity as typed)
+  term^2.5          boosted term: its BM25 contribution is multiplied
+                    by the boost (Lucene ^ syntax); implemented by
+                    scoring each boost-weight group with the UNCHANGED
+                    exact scorer and summing w * bm25 — BM25 is additive
+                    over query-occurrence subsets, so no second scoring
+                    kernel exists to drift from the reference semantics
   "quoted phrase"   candidate gate: doc must contain the exact-adjacency
                     phrase (operators/phrase.py semantics); the phrase's
                     terms ALSO score as occurrences
@@ -16,6 +22,11 @@ operators this repo already has into ONE executable plan:
   field:value       corpus filter: metadata equality, applied BEFORE
                     stats — the searchable corpus IS the filtered corpus
                     (same semantics as bm25_topk_filtered)
+  field:[a TO b]    corpus filter: inclusive range on any orderable
+                    column (timestamps, numerics, strings); '*' opens an
+                    end (Lucene range syntax). The literal casts to the
+                    COLUMN's type, so n_chars:[20 TO 100] compares
+                    numerically, not lexicographically.
 
 Two-level predicate semantics, deliberately:
 - field filters restrict the CORPUS (they change N, avgdl, df — you are
@@ -26,15 +37,17 @@ Two-level predicate semantics, deliberately:
 
 Scale shape: the gates are one scan-side Catalyst projection over the
 (already field-filtered) corpus; scoring is the standard broadcast
-score_candidates plan; the gate join is a semi-join probing with the
-candidate set (bounded by the query terms' df). Nothing here adds a
-Python UDF or a new shuffle beyond the scoring aggregation itself.
+score_candidates plan, once per DISTINCT boost weight (queries use 1-3
+weights in practice), merged by a doc_id hash agg over per-group top
+candidates. Nothing here adds a Python UDF or a new shuffle beyond the
+scoring aggregations themselves.
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,15 +56,19 @@ from ..functions.tokenize import tokens_col
 from . import scorer
 from .phrase import phrase_tf_col
 
-_TOKEN_RE = re.compile(r'-"([^"]*)"|"([^"]*)"|(\S+)')
+_TOKEN_RE = re.compile(r'-"([^"]*)"|"([^"]*)"|(\w+):\[([^\]]*)\]|(\S+)')
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_RANGE_RE = re.compile(r"^\s*(\S+)\s+TO\s+(\S+)\s*$")
 
 
 @dataclass
 class ParsedQuery:
     terms: list[str] = field(default_factory=list)       # scoring occurrences
+    weights: list[float] = field(default_factory=list)   # parallel to terms
     phrases: list[list[str]] = field(default_factory=list)
     excludes: list[str] = field(default_factory=list)
     fields: list[tuple[str, str]] = field(default_factory=list)
+    ranges: list[tuple[str, str | None, str | None]] = field(default_factory=list)
 
 
 def parse_query(text: str) -> ParsedQuery:
@@ -59,8 +76,17 @@ def parse_query(text: str) -> ParsedQuery:
     (a lone '-' or 'a:' is just a token — queries never error on typos).
     A '-"quoted phrase"' excludes every doc containing the phrase."""
     pq = ParsedQuery()
+
+    def add_term(tok: str, w: float = 1.0) -> None:
+        m = _BOOST_RE.match(tok)
+        if m:
+            tok, w = m.group(1), w * float(m.group(2))
+        if tok:
+            pq.terms.append(tok)
+            pq.weights.append(w)
+
     for m in _TOKEN_RE.finditer(text or ""):
-        neg_phrase, phrase, tok = m.group(1), m.group(2), m.group(3)
+        neg_phrase, phrase, rfield, rbody, tok = m.groups()
         if neg_phrase is not None:
             ph = neg_phrase.split()
             if ph:
@@ -70,7 +96,18 @@ def parse_query(text: str) -> ParsedQuery:
             ph = phrase.split()
             if ph:
                 pq.phrases.append(ph)
-                pq.terms.extend(ph)
+                for p in ph:
+                    pq.terms.append(p)
+                    pq.weights.append(1.0)
+            continue
+        if rfield is not None:
+            rm = _RANGE_RE.match(rbody)
+            if rm:
+                lo = None if rm.group(1) == "*" else rm.group(1)
+                hi = None if rm.group(2) == "*" else rm.group(2)
+                pq.ranges.append((rfield, lo, hi))
+            else:  # malformed range degrades to a bare token, like typos
+                add_term(f"{rfield}:[{rbody}]")
             continue
         if tok.startswith("-") and len(tok) > 1:
             pq.excludes.append(tok[1:])
@@ -78,8 +115,16 @@ def parse_query(text: str) -> ParsedQuery:
             f_, v = tok.split(":", 1)
             pq.fields.append((f_, v))
         else:
-            pq.terms.append(tok)
+            add_term(tok)
     return pq
+
+
+def _check_field(docs: DataFrame, f_: str, text_col: str) -> None:
+    if f_ not in docs.columns:
+        raise ValueError(
+            f"unknown field '{f_}' — available: "
+            f"{[c for c in docs.columns if c != text_col]}"
+        )
 
 
 def search(
@@ -97,12 +142,16 @@ def search(
     pq = parse_query(query_text)
     base = docs
     for f_, v in pq.fields:
-        if f_ not in docs.columns:
-            raise ValueError(
-                f"unknown field '{f_}' — available: "
-                f"{[c for c in docs.columns if c != text_col]}"
-            )
+        _check_field(docs, f_, text_col)
         base = base.filter(F.col(f_).cast("string") == v)
+    dtypes = dict(docs.dtypes)
+    for f_, lo, hi in pq.ranges:
+        _check_field(docs, f_, text_col)
+        dt = dtypes[f_]
+        if lo is not None:
+            base = base.filter(F.col(f_) >= F.lit(lo).cast(dt))
+        if hi is not None:
+            base = base.filter(F.col(f_) <= F.lit(hi).cast(dt))
 
     if not pq.terms:
         spark = docs.sparkSession
@@ -121,21 +170,33 @@ def search(
         gate = gate & ~F.array_contains(toks, ex)
     gated = base.filter(gate).select(F.col(id_col).alias("doc_id"))
 
-    qdf = docs.sparkSession.createDataFrame(
-        [("q", " ".join(pq.terms))], "query_id string, text string"
+    corpus = base.select(F.col(id_col).alias("doc_id"), text_col)
+    dlen = scorer.doc_lengths(corpus)
+    dtf = scorer.doc_term_frequencies(corpus)
+    stats = scorer.corpus_stats(dlen)
+
+    # one exact-scorer pass per distinct boost weight; BM25 is a sum over
+    # query occurrences, so total = sum_w w * bm25(occurrences with w)
+    by_w: dict[float, list[str]] = {}
+    for t, w in zip(pq.terms, pq.weights):
+        by_w.setdefault(w, []).append(t)
+    parts = []
+    for w, terms in sorted(by_w.items()):
+        qdf = docs.sparkSession.createDataFrame(
+            [("q", " ".join(terms))], "query_id string, text string"
+        )
+        part = scorer.score_candidates(dtf, dlen, stats, qdf).select(
+            "doc_id", (F.col("bm25") * F.lit(float(w))).alias("wbm25")
+        )
+        parts.append(part)
+    merged = reduce(DataFrame.unionByName, parts)
+    sc = (
+        merged.groupBy("doc_id")
+        .agg(F.round(F.sum("wbm25"), 6).alias("bm25"))
+        .select(F.lit("q").alias("query_id"), "doc_id", "bm25")
     )
-    dlen = scorer.doc_lengths(base.select(F.col(id_col).alias("doc_id"), text_col))
-    sc = scorer.score_candidates(
-        scorer.doc_term_frequencies(
-            base.select(F.col(id_col).alias("doc_id"), text_col)
-        ),
-        dlen,
-        scorer.corpus_stats(dlen),
-        qdf,
-    )
-    out = sc.join(gated, "doc_id", "left_semi").select(
-        "query_id", "doc_id", F.round("bm25", 6).alias("bm25")
-    )
+
+    out = sc.join(gated, "doc_id", "left_semi")
     return (
         scorer.topk(out, k)
         .select(F.col("doc_id").alias(id_col), "bm25", "rank")

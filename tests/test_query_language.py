@@ -96,3 +96,73 @@ def test_search_matches_plain_bm25_when_no_operators(spark):
     assert got.keys() == want.keys()
     for key, v in want.items():
         assert got[key] == pytest.approx(v, abs=1e-6)  # search() rounds to 6dp
+
+
+def test_parse_boosts_and_ranges():
+    pq = parse_query("key^2 value hash^0.5 n_chars:[200 TO 5000] ts:[* TO 2024-02-01]")
+    assert pq.terms == ["key", "value", "hash"]
+    assert pq.weights == [2.0, 1.0, 0.5]
+    assert pq.ranges == [
+        ("n_chars", "200", "5000"),
+        ("ts", None, "2024-02-01"),
+    ]
+    # malformed range degrades to a bare term; bare ^ degrades too
+    pq = parse_query("a:[1 2] b^x")
+    assert pq.terms == ["a:[1 2]", "b^x"]
+    assert pq.weights == [1.0, 1.0]
+
+
+def test_search_boost_weighting(spark):
+    docs = _docs(spark)
+    # boost == scoring each weight group separately and summing w * bm25
+    plain = {
+        r.doc_id: r.bm25 for r in search(docs, "alpha", k=10).collect()
+    }
+    gamma = {
+        r.doc_id: r.bm25 for r in search(docs, "gamma", k=10).collect()
+    }
+    boosted = {
+        r.doc_id: r.bm25 for r in search(docs, "alpha^3 gamma", k=10).collect()
+    }
+    for d, s in boosted.items():
+        expect = 3.0 * plain.get(d, 0.0) + gamma.get(d, 0.0)
+        assert s == pytest.approx(expect, abs=5e-6)  # 6-dp rounding per leg
+
+
+def test_search_integer_boost_equals_repetition(spark):
+    docs = _docs(spark)
+    # occurrence-multiplicity semantics: alpha^2 == typing alpha twice
+    b = {r.doc_id: r.bm25 for r in search(docs, "alpha^2 beta", k=10).collect()}
+    rep = {r.doc_id: r.bm25 for r in search(docs, "alpha alpha beta", k=10).collect()}
+    assert b.keys() == rep.keys()
+    for d in b:
+        assert b[d] == pytest.approx(rep[d], abs=1e-9)
+
+
+def test_search_range_filters_corpus(spark):
+    rows = [
+        ("d1", "alpha beta", 10),
+        ("d2", "alpha beta", 20),
+        ("d3", "alpha beta", 30),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, n int")
+    got = {r.doc_id for r in search(docs, "alpha n:[15 TO 25]", k=10).collect()}
+    assert got == {"d2"}
+    # numeric, not lexicographic: [5 TO 25] must include 10 and 20
+    got = {r.doc_id for r in search(docs, "alpha n:[5 TO 25]", k=10).collect()}
+    assert got == {"d1", "d2"}
+    # open ends
+    got = {r.doc_id for r in search(docs, "alpha n:[* TO 15]", k=10).collect()}
+    assert got == {"d1"}
+    got = {r.doc_id for r in search(docs, "alpha n:[25 TO *]", k=10).collect()}
+    assert got == {"d3"}
+    # range filter changes the CORPUS: stats describe the filtered set
+    full = {r.doc_id: r.bm25 for r in search(docs, "alpha", k=10).collect()}
+    filt = {r.doc_id: r.bm25 for r in search(docs, "alpha n:[5 TO 25]", k=10).collect()}
+    assert filt["d1"] != full["d1"]  # N and df changed -> idf changed
+
+
+def test_search_range_unknown_field_raises(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="unknown field"):
+        search(docs, "alpha nope:[1 TO 2]").collect()
