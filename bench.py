@@ -38,8 +38,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "20"))
 K = int(os.environ.get("BENCH_K", "1000"))
+# zipf vocabulary extension for the synthesized corpus (default off: the
+# headline suite stays comparable round-over-round). Scaling runs set
+# this to exercise the head-skew/long-tail paths a real transcript
+# corpus has — see sources/transcripts.synthesize_transcripts.
+ZIPF_TOKENS = int(os.environ.get("BENCH_ZIPF_TOKENS", "0"))
 INDEX_DIR = os.environ.get(
-    "BENCH_INDEX_DIR", f"/tmp/bm25_bench_index_c{CPUS}_r{REPLICAS}"
+    "BENCH_INDEX_DIR",
+    f"/tmp/bm25_bench_index_c{CPUS}_r{REPLICAS}"
+    + (f"_z{ZIPF_TOKENS}" if ZIPF_TOKENS else ""),
 )
 
 
@@ -77,9 +84,9 @@ def main() -> None:
     # be recomputed by every build stage that scans transcripts
     corpus_dir = f"{INDEX_DIR}_transcripts"
     if not os.path.exists(corpus_dir):
-        synthesize_transcripts(spark, SF_DIR, replicas=REPLICAS).write.mode(
-            "overwrite"
-        ).parquet(corpus_dir)
+        synthesize_transcripts(
+            spark, SF_DIR, replicas=REPLICAS, zipf_tokens=ZIPF_TOKENS
+        ).write.mode("overwrite").parquet(corpus_dir)
     transcripts = spark.read.parquet(corpus_dir)
     n_turns = transcripts.count()  # warm-up scan, excluded from build time
 

@@ -237,6 +237,123 @@ def encode_sorted_run(
     }
 
 
+def encode_sorted_run_arrow(
+    terms,  # pa.Array[string]
+    rids: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    factors: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    blocks_per_range: int = 1,
+    block_id_base: int = 0,
+    term_codes: np.ndarray | None = None,
+):
+    """Arrow-native twin of ``encode_sorted_run`` — identical block rows
+    (tests pin the equivalence), but the term column never leaves Arrow:
+
+    - group-boundary discovery compares the Arrow string array with its
+      own 1-shifted slice via ``pyarrow.compute.not_equal`` (vectorized C
+      string compare) instead of an object-dtype numpy comparison that
+      does 1 Python-level ``str.__eq__`` per posting;
+    - per-block output terms come from ``pc.take`` at block starts, so
+      only ~#blocks strings are ever touched, not #postings;
+    - the three binary columns are built with ``pa.Array.from_buffers``
+      directly over the contiguous varint buffers + offset arrays — the
+      per-block byte-slice list comprehensions disappear.
+
+    With ``mapInPandas`` the Arrow->pandas conversion alone materialized
+    one PyObject per posting for the term column (~55-60% of the blocks
+    stage in profile); this path (used via ``mapInArrow``) has no per-row
+    or per-block Python at all. Returns a ``pa.RecordBatch`` in
+    BLOCK_SCHEMA column order, or None for empty input.
+
+    ``term_codes``: optional dictionary-encoded form of the term column.
+    When given, ``terms`` is the DICTIONARY (one entry per distinct term)
+    and ``term_codes`` the per-posting integer code — boundary discovery
+    then compares int arrays and per-block terms come from one ``take``
+    into the dictionary. This is the path the sort-free partition encoder
+    uses (``pc.dictionary_encode`` + ``np.lexsort`` replace the JVM sort).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = docs.size
+    if n == 0:
+        return None
+    d = np.ascontiguousarray(docs, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    f = np.ascontiguousarray(factors, dtype=np.float64)
+    r = np.ascontiguousarray(rids, dtype=np.int64)
+
+    gchange = np.empty(n, dtype=bool)
+    gchange[0] = True
+    if n > 1 and term_codes is not None:
+        gchange[1:] = (term_codes[1:] != term_codes[:-1]) | (r[1:] != r[:-1])
+    elif n > 1:
+        neq_term = pc.not_equal(
+            terms.slice(1, n - 1), terms.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        gchange[1:] = neq_term | (r[1:] != r[:-1])
+    gstarts = np.flatnonzero(gchange)
+    gsizes = np.diff(np.append(gstarts, n))
+    off = np.arange(n, dtype=np.int64) - np.repeat(gstarts, gsizes)
+    bmask = gchange | (off % block_size == 0)
+    bstarts = np.flatnonzero(bmask)
+    bends = np.append(bstarts[1:], n)
+
+    assert (np.diff(d) > 0)[~gchange[1:]].all() if n > 1 else True, (
+        "doc ids must be strictly increasing within a (term, range_id) group"
+    )
+
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(d[0])
+    np.subtract(d[1:], d[:-1], out=gaps[1:].view(np.int64), casting="unsafe")
+    gaps[bstarts] = d[bstarts].astype(np.uint64)
+
+    docs_buf, docs_nb = _varint_encode_raw(gaps)
+    tfs_buf, tfs_nb = _varint_encode_raw((t - 1).astype(np.uint64))
+    docs_cum = np.concatenate(([0], np.cumsum(docs_nb)))
+    tfs_cum = np.concatenate(([0], np.cumsum(tfs_nb)))
+
+    nb = bstarts.size
+    bounds = np.append(bstarts, n)  # block byte-ranges are CONTIGUOUS
+
+    def _binary(data: np.ndarray, offsets64: np.ndarray) -> pa.Array:
+        offsets = pa.array(offsets64.astype(np.int32), type=pa.int32())
+        buf = pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))
+        return pa.Array.from_buffers(
+            pa.binary(), nb, [None, offsets.buffers()[1], buf]
+        )
+
+    block_ids = (
+        block_id_base + r[bstarts] * blocks_per_range + off[bstarts] // block_size
+    )
+    if term_codes is not None:
+        out_terms = pc.take(terms, pa.array(term_codes[bstarts]))
+    else:
+        out_terms = pc.take(terms, pa.array(bstarts, type=pa.int64()))
+    return pa.RecordBatch.from_arrays(
+        [
+            out_terms,
+            pa.array(r[bstarts]),
+            pa.array(block_ids),
+            pa.array((bends - bstarts).astype(np.int32)),
+            pa.array(d[bstarts]),
+            pa.array(d[bends - 1]),
+            pa.array(np.maximum.reduceat(f, bstarts)),
+            pa.array(np.minimum.reduceat(f, bstarts)),
+            _binary(docs_buf, docs_cum[bounds]),
+            _binary(tfs_buf, tfs_cum[bounds]),
+            _binary(f.view(np.uint8), bounds * 8),
+        ],
+        names=[
+            "term", "range_id", "block_id", "n_postings", "min_doc",
+            "max_doc", "max_factor", "min_factor", "docs_enc", "tfs_enc",
+            "factors_enc",
+        ],
+    )
+
+
 def blocks_for_term(
     doc_ints: np.ndarray,
     tfs: np.ndarray,

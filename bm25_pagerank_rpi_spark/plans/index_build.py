@@ -153,6 +153,132 @@ def _make_encode_partition_fn(
     return fn
 
 
+def _make_encode_arrow_fn(
+    block_size: int, blocks_per_range: int, block_id_base: int = 0
+):
+    """Arrow-native partition encoder for ``mapInArrow``: same contract as
+    ``_make_encode_partition_fn`` (input hash-distributed by
+    (term, range_id), sorted by (term, range_id, doc_int); groups spanning
+    batch boundaries buffered) but the term column never converts to
+    pandas object dtype — profiling showed that conversion plus the
+    per-posting Python string compares were ~55-60% of the blocks stage.
+    All per-batch work is pyarrow.compute / numpy; see
+    codec.encode_sorted_run_arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _concat(b1: pa.RecordBatch, b2: pa.RecordBatch) -> pa.RecordBatch:
+        tbl = pa.Table.from_batches([b1, b2]).combine_chunks()
+        return tbl.to_batches()[0]
+
+    def _encode(batch: pa.RecordBatch):
+        return codec.encode_sorted_run_arrow(
+            batch.column("term"),
+            batch.column("range_id").to_numpy(),
+            batch.column("doc_int").to_numpy(),
+            batch.column("tf").to_numpy(),
+            batch.column("factor").to_numpy(),
+            block_size=block_size,
+            blocks_per_range=blocks_per_range,
+            block_id_base=block_id_base,
+        )
+
+    def fn(batches):
+        pending: pa.RecordBatch | None = None
+        for batch in batches:
+            if pending is not None:
+                batch = _concat(pending, batch)
+                pending = None
+            n = batch.num_rows
+            if n == 0:
+                continue
+            # last (term, range_id) group may continue into the next batch
+            terms = batch.column("term")
+            rids = batch.column("range_id").to_numpy()
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            if n > 1:
+                change[1:] = pc.not_equal(
+                    terms.slice(1, n - 1), terms.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False) | (rids[1:] != rids[:-1])
+            last_start = int(np.flatnonzero(change)[-1])
+            head, pending = batch.slice(0, last_start), batch.slice(last_start)
+            if head.num_rows:
+                out = _encode(head)
+                if out is not None:
+                    yield out
+        if pending is not None and pending.num_rows:
+            out = _encode(pending)
+            if out is not None:
+                yield out
+
+    return fn
+
+
+def _make_encode_unsorted_fn(
+    block_size: int, blocks_per_range: int, block_id_base: int = 0
+):
+    """Sort-free partition encoder for ``mapInArrow``: input partitions are
+    hash-distributed by (term, range_id) but NOT sorted — the JVM
+    ``sortWithinPartitions`` is replaced by a Python-side
+    ``pc.dictionary_encode`` of the term column plus one ``np.lexsort``
+    over (code, range_id, doc_int) int arrays. Grouping only needs
+    (term, range_id) groups CONTIGUOUS and doc-sorted within — any
+    consistent term order works, so dictionary codes (order of first
+    occurrence) are fine, and no string is ever compared or copied per
+    posting.
+
+    MEASURED WORSE than the sorted streaming path and therefore NOT used
+    by the build: same-window interleaved A/B (tools/ab_blocks.py, 48M
+    postings, 8 cores) put it ~25% slower than JVM sort + streaming
+    ``_make_encode_arrow_fn`` — whole-partition buffering does ~6 full
+    passes (concat, dictionary, lexsort, permutations) with cold-cache
+    locality, while Tungsten's radix sort + 512k-row streamed batches
+    stay cache-warm. Kept as the A/B counterfactual; the memory contract
+    (caller bounds partition volume, ~TARGET_ENCODE_ROWS rows/task)
+    still holds if it is ever re-evaluated on different hardware."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        term = tbl.column("term")
+        if term.num_chunks != 1:  # combine_chunks guarantees 1 for n > 0
+            term = term.combine_chunks()
+        dic = pc.dictionary_encode(term.chunk(0) if hasattr(term, "chunk") else term)
+        codes = dic.indices.to_numpy().astype(np.int64, copy=False)
+        rids = tbl.column("range_id").to_numpy()
+        docs = tbl.column("doc_int").to_numpy()
+        order = np.lexsort((docs, rids, codes))
+        out = codec.encode_sorted_run_arrow(
+            dic.dictionary,
+            rids[order],
+            docs[order],
+            tbl.column("tf").to_numpy()[order],
+            tbl.column("factor").to_numpy()[order],
+            block_size=block_size,
+            blocks_per_range=blocks_per_range,
+            block_id_base=block_id_base,
+            term_codes=codes[order],
+        )
+        if out is not None:
+            yield out
+
+    return fn
+
+
+# encode-task sizing: one task buffers its whole partition (see
+# _make_encode_unsorted_fn), so partitions target this many postings
+# (~150 MB Arrow + permutation) regardless of cluster size
+TARGET_ENCODE_ROWS = 3_000_000
+
+
 def with_range_routing(
     post: DataFrame, range_rows: int, tail_df_threshold: int | None
 ) -> DataFrame:
@@ -375,7 +501,7 @@ def build_index(
             tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.lit(avgdl)))
         )
         blocks_per_range = range_rows // block_size + 1
-        enc = _make_encode_partition_fn(block_size, blocks_per_range)
+        enc = _make_encode_arrow_fn(block_size, blocks_per_range)
         # adaptive salt: head terms (df > threshold) get doc-range groups;
         # tail terms collapse to ONE corpus-global group (range_id = -1),
         # so a df=10 term yields one 10-posting block instead of up to 10
@@ -389,7 +515,7 @@ def build_index(
             ranged.select("term", "range_id", "doc_int", "tf", "factor")
             .repartition(npart, "term", "range_id")
             .sortWithinPartitions("term", "range_id", "doc_int")
-            .mapInPandas(enc, schema=BLOCK_SCHEMA)
+            .mapInArrow(enc, schema=BLOCK_SCHEMA)
             .withColumn("bucket", term_bucket("term", n_buckets))
             # same write-parallelism rule as stage 2: don't collapse the
             # write to n_buckets tasks on a bigger cluster
@@ -399,7 +525,20 @@ def build_index(
                 F.pmod(F.col("block_id"), F.lit(max(1, (spark.sparkContext.defaultParallelism * 2) // n_buckets))),
             )
         )
-        out = cat.write(blocks, "blocks", partition_by=["bucket"])
+        # larger Arrow batches amortize the per-batch boundary scan and
+        # pending-group concat in the encoder (default 10k rows => ~75
+        # batches per task here); restored after the stage so pandas UDF
+        # consumers elsewhere keep the default memory envelope
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev_batch = spark.conf.get(batch_key, None)
+        spark.conf.set(batch_key, str(1 << 19))
+        try:
+            out = cat.write(blocks, "blocks", partition_by=["bucket"])
+        finally:
+            if prev_batch is None:
+                spark.conf.unset(batch_key)
+            else:
+                spark.conf.set(batch_key, prev_batch)
         n = cat.blocks().count()
         return out, n, {"blocks": n}
 

@@ -33,6 +33,8 @@ def synthesize_transcripts(
     spark: SparkSession,
     sf_dir: str,
     replicas: int = 1,
+    zipf_tokens: int = 0,
+    zipf_vocab: int = 200_000,
 ) -> DataFrame:
     """Deterministic transcript table derived from documents.parquet.
 
@@ -40,6 +42,15 @@ def synthesize_transcripts(
     amplifies the corpus for throughput benchmarking; every replica gets a
     distinct marker token appended so posting lists grow realistically
     instead of collapsing into duplicates.
+
+    ``zipf_tokens > 0`` appends that many extra tokens per turn drawn from
+    a ~zipf(1) document-frequency distribution over ``zipf_vocab`` synthetic
+    terms (token id = floor(exp(u * ln V)) via inverse-CDF on a per-(turn,
+    slot) hash). The base corpus has a tiny vocabulary (documents.parquet
+    is synthetic), which makes index-build benchmarks unrealistically easy
+    on the sort/encode/tail-salt paths; the zipf extension reproduces the
+    head-skew + long-tail term distribution real transcript corpora have.
+    Off by default so headline bench numbers stay comparable across rounds.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("src_id"), "text"
@@ -54,6 +65,18 @@ def synthesize_transcripts(
         docs = docs.withColumn("rep", F.lit(0))
 
     gid = (F.col("src_id") * replicas + F.col("rep")).alias("gid")
+    if zipf_tokens > 0:
+        import math as _math
+
+        ln_v = _math.log(zipf_vocab)
+        zs = []
+        for i in range(zipf_tokens):
+            u = (
+                F.pmod(F.xxhash64(F.col("src_id") * replicas + F.col("rep"), F.lit(i)), F.lit(1_000_000))
+                / F.lit(1_000_000.0)
+            )
+            zs.append(F.concat(F.lit("z"), F.floor(F.exp(u * F.lit(ln_v))).cast("long")))
+        docs = docs.withColumn("text", F.concat_ws(" ", F.col("text"), *zs))
     # the small parquet read + broadcast crossJoin would otherwise leave ONE
     # partition, serializing every downstream map chain (tokenize/explode)
     # onto a single core until the first shuffle

@@ -148,7 +148,7 @@ def _encode_postings(
     from .. import B, K1
     from ..plans.index_build import (
         BLOCK_SCHEMA,
-        _make_encode_partition_fn,
+        _make_encode_arrow_fn,
         with_range_routing,
     )
 
@@ -158,7 +158,7 @@ def _encode_postings(
         tfd + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (dl / F.lit(avgdl)))
     )
     blocks_per_range = range_rows // block_size + 1
-    enc = _make_encode_partition_fn(block_size, blocks_per_range, block_id_base)
+    enc = _make_encode_arrow_fn(block_size, blocks_per_range, block_id_base)
     ranged = with_range_routing(
         post.withColumn("factor", factor), range_rows, tail_df_threshold
     )
@@ -167,7 +167,7 @@ def _encode_postings(
         ranged.select("term", "range_id", "doc_int", "tf", "factor")
         .repartition(npart, "term", "range_id")
         .sortWithinPartitions("term", "range_id", "doc_int")
-        .mapInPandas(enc, schema=BLOCK_SCHEMA)
+        .mapInArrow(enc, schema=BLOCK_SCHEMA)
         .withColumn("bucket", term_bucket("term", n_buckets))
     )
 

@@ -187,3 +187,119 @@ def test_encode_sorted_run_empty_and_single():
     assert list(out["block_id"]) == [10 - 2] and list(out["min_doc"]) == [42]
     d, t, f = codec.decode_block({k: v[0] for k, v in out.items()})
     assert list(d) == [42] and list(t) == [3] and list(f) == [0.5]
+
+
+def test_encode_sorted_run_arrow_matches_pandas_run():
+    """The Arrow-native run encoder (mapInArrow seam) must be byte-identical
+    to encode_sorted_run — same blocks, same ids, same encoded bytes."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(43)
+    pdf = _sorted_run(rng, 30_000, 700, 5_000)
+    bs, bpr, base = 16, 7, 2_000
+
+    terms = pdf["term"].to_numpy()
+    rids = pdf["range_id"].to_numpy(dtype=np.int64)
+    docs = pdf["doc_int"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    facs = pdf["factor"].to_numpy(dtype=np.float64)
+
+    old = pd.DataFrame(
+        codec.encode_sorted_run(
+            terms, rids, docs, tfs, facs,
+            block_size=bs, blocks_per_range=bpr, block_id_base=base,
+        )
+    )
+    batch = codec.encode_sorted_run_arrow(
+        pa.array(list(terms), type=pa.string()), rids, docs, tfs, facs,
+        block_size=bs, blocks_per_range=bpr, block_id_base=base,
+    )
+    new = batch.to_pandas()
+    assert list(new.columns) == list(old.columns)
+    assert len(new) == len(old)
+    for c in old.columns:
+        ov, nv = old[c].to_numpy(), new[c].to_numpy()
+        if c in ("term", "docs_enc", "tfs_enc", "factors_enc"):
+            assert all(a == b for a, b in zip(ov, nv)), c
+        else:
+            assert (ov == nv).all(), c
+    # an Arrow SLICE (non-zero offset, as the batch-boundary buffering
+    # produces) must encode identically to the equivalent copy
+    full = pa.array(list(terms), type=pa.string())
+    k = 1000
+    sliced = codec.encode_sorted_run_arrow(
+        full.slice(k), rids[k:], docs[k:], tfs[k:], facs[k:],
+        block_size=bs, blocks_per_range=bpr, block_id_base=base,
+    ).to_pandas()
+    direct = codec.encode_sorted_run_arrow(
+        pa.array(list(terms[k:]), type=pa.string()), rids[k:], docs[k:],
+        tfs[k:], facs[k:], block_size=bs, blocks_per_range=bpr,
+        block_id_base=base,
+    ).to_pandas()
+    assert sliced.equals(direct)
+
+
+def test_encode_sorted_run_arrow_empty():
+    import pyarrow as pa
+
+    assert (
+        codec.encode_sorted_run_arrow(
+            pa.array([], type=pa.string()), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+        is None
+    )
+
+
+def test_encode_sorted_run_arrow_dict_codes_path():
+    """The dictionary-codes variant (sort-free encoder) must produce the
+    same blocks as the string-array path given any consistent ordering."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(47)
+    pdf = _sorted_run(rng, 20_000, 500, 4_000)
+    bs, bpr, base = 16, 7, 2_000
+
+    # string path on the canonically sorted run
+    want = codec.encode_sorted_run_arrow(
+        pa.array(list(pdf["term"]), type=pa.string()),
+        pdf["range_id"].to_numpy(np.int64),
+        pdf["doc_int"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["factor"].to_numpy(np.float64),
+        block_size=bs, blocks_per_range=bpr, block_id_base=base,
+    ).to_pandas()
+
+    # dict-codes path on a SHUFFLED copy re-sorted by (code, rid, doc) —
+    # exactly what _make_encode_unsorted_fn does per partition
+    perm = rng.permutation(len(pdf))
+    shuf = pdf.iloc[perm].reset_index(drop=True)
+    dic = pc.dictionary_encode(pa.array(list(shuf["term"]), type=pa.string()))
+    codes = dic.indices.to_numpy().astype(np.int64)
+    rids = shuf["range_id"].to_numpy(np.int64)
+    docs = shuf["doc_int"].to_numpy(np.int64)
+    order = np.lexsort((docs, rids, codes))
+    got = codec.encode_sorted_run_arrow(
+        dic.dictionary,
+        rids[order],
+        docs[order],
+        shuf["tf"].to_numpy(np.int64)[order],
+        shuf["factor"].to_numpy(np.float64)[order],
+        block_size=bs, blocks_per_range=bpr, block_id_base=base,
+        term_codes=codes[order],
+    ).to_pandas()
+
+    key = ["term", "range_id", "block_id"]
+    want = want.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert len(want) == len(got)
+    for c in want.columns:
+        ov, nv = want[c].to_numpy(), got[c].to_numpy()
+        if c in ("term", "docs_enc", "tfs_enc", "factors_enc"):
+            assert all(a == b for a, b in zip(ov, nv)), c
+        else:
+            assert (ov == nv).all(), c

@@ -23,13 +23,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_level(cores: int, replicas: int, sf_dir: str) -> dict:
     base = os.environ.get("SCALING_WORK_DIR", "/dev/shm/bm25_scaling")
+    # zipf-vocab corpus by default for scaling evidence: the base
+    # synthetic corpus has ~131 distinct terms, which understates the
+    # sort/encode work and never engages the adaptive tail salt
+    zipf = os.environ.get("BENCH_ZIPF_TOKENS", "8")
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_REPLICAS=str(replicas),
         BENCH_BUILD_ONLY="1",
-        BENCH_INDEX_DIR=f"{base}/index_c{cores}",
+        BENCH_ZIPF_TOKENS=zipf,
+        BENCH_INDEX_DIR=f"{base}/index_c{cores}_z{zipf}",
         SPARK_GRAFT_LOCAL_DIR=f"{base}/local_c{cores}",
         # resources scale WITH the cluster: a 4N-executor cluster has 4x
         # the total memory, so the stand-in JVM heap scales per core. A
