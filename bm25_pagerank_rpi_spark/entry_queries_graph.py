@@ -186,3 +186,55 @@ def q_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ["doc_id", "rank", *features.FEATURE_COLUMNS]
     ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport uniform over the source set
+# (doc_id % 97 == 0) instead of all nodes — full recursive-CTE value check
+# of the iterative computation, like the uniform pair above.
+# ---------------------------------------------------------------------------
+
+ORACLE_PPR = """
+WITH RECURSIVE
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id // 8 = b.doc_id // 8
+  UNION ALL
+  SELECT doc_id, (doc_id // 8) * 8 FROM documents WHERE doc_id % 8 <> 0
+),
+outs AS (SELECT src, list(dst) AS dsts, count(*) AS out_deg FROM edges GROUP BY src),
+ns AS (SELECT count(*) AS k FROM nodes WHERE node % 97 = 0),
+ppr AS (
+  SELECT 0 AS iter, node,
+         CASE WHEN node % 97 = 0 THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS rank
+  FROM nodes
+  UNION ALL
+  SELECT iter, (s).t AS node,
+         CASE WHEN (s).t % 97 = 0
+              THEN {base} / (SELECT k FROM ns) ELSE 0.0 END
+           + {damping} * sum((s).v) AS rank
+  FROM (
+    SELECT p.iter + 1 AS iter,
+           unnest(list_prepend(struct_pack(t := p.node, v := 0.0),
+             coalesce(list_transform(o.dsts, x -> struct_pack(t := x, v := p.rank / o.out_deg)),
+                      CAST([] AS STRUCT(t BIGINT, v DOUBLE)[])))) AS s
+    FROM ppr p LEFT JOIN outs o ON o.src = p.node
+    WHERE p.iter < {iters}
+  )
+  GROUP BY iter, (s).t
+)
+SELECT node, round(rank, 6) AS pagerank FROM ppr WHERE iter = {iters}
+""".format(base=1.0 - DAMPING, damping=DAMPING, iters=ITERS)
+
+
+@register("personalized_pagerank", ORACLE_PPR)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    nodes, edges = _doc_graph(docs)
+    sources = nodes.filter(F.col("node") % 97 == 0)
+    out = pagerank.personalized_pagerank(
+        nodes, edges, sources, damping=DAMPING, iterations=ITERS
+    )
+    return out.select("node", _r("pagerank").alias("pagerank"))

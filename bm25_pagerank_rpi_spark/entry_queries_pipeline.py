@@ -874,3 +874,131 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", _r("rrf_score").alias("rrf_score"), "n_systems", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy quality scoring (corpus-trained, add-1 smoothed):
+# the statistical stand-in for neural-perplexity filtering. Oracle re-derives
+# the same model from the same corpus with DuckDB list_zip bigrams.
+# ---------------------------------------------------------------------------
+
+ORACLE_LM_CE = """
+WITH toklists AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(l, l[2:])) AS z FROM toklists
+  ) WHERE z[2] IS NOT NULL
+),
+dbig AS (
+  SELECT doc_id, w1, w2, count(*) AS m FROM pairs GROUP BY 1, 2, 3
+),
+big AS (SELECT w1, w2, sum(m) AS c12 FROM dbig GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT t.term)::DOUBLE AS v
+  FROM toklists, unnest(l) AS t(term)
+)
+SELECT d.doc_id,
+       sum(d.m)::INT AS n_bigrams,
+       round(-sum(d.m * ln((b.c12 + 1.0) / (c.c1 + 1.0 * voc.v))) / sum(d.m),
+             6) AS cross_entropy
+FROM dbig d
+JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+JOIN ctx c ON c.w1 = d.w1
+CROSS JOIN voc
+GROUP BY d.doc_id
+"""
+
+
+@register("lm_cross_entropy", ORACLE_LM_CE)
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.lm_cross_entropy(
+        _docs(spark, sf_dir).select("doc_id", "text"), k_smooth=1.0
+    )
+    return out.select("doc_id", "n_bigrams", _r("cross_entropy").alias("cross_entropy"))
+
+
+# ---------------------------------------------------------------------------
+# Mixture weighting: deterministic per-domain subsampling (dataset_mix).
+# Rates keyed by the `lang` column; docs hash-gate within their group.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+_MIX_DEFAULT = 0.1
+
+ORACLE_MIX = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         {phash_sql("'mix-v1-' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h,
+         CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                   WHEN 'fr' THEN 250000 ELSE 100000 END AS thr
+  FROM documents
+) WHERE h < thr
+"""
+
+
+@register("dataset_mix", ORACLE_MIX)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return textstats.dataset_mix(
+        docs, _MIX_RATES, group_col="lang", default_rate=_MIX_DEFAULT
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: global running token total over a stable
+# hash permutation; shard = floor(tokens_before / budget). The oracle's
+# single-ordered window IS the semantics; the Spark side computes the
+# same cumsum with the two-phase range-partition pattern (no global
+# window) — the pair pins their equivalence.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 5_000
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         {phash_sql("'pack-v1-' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents
+)
+SELECT doc_id, n_tokens::INT AS n_tokens,
+       (coalesce(sum(n_tokens) OVER (
+          ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) // {_PACK_BUDGET})::BIGINT AS shard_id
+FROM t
+"""
+
+
+@register("pack_shards", ORACLE_PACK)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return textstats.pack_shards(docs, budget_tokens=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenizer piece counts (GPT-2 pre-tokenization regex, ASCII form
+# shared verbatim across Spark/DuckDB/Python — see textstats.BPE_PIECE_RE).
+# ---------------------------------------------------------------------------
+
+ORACLE_BPE = """
+SELECT doc_id,
+       length(text)::INT AS n_chars,
+       len(regexp_extract_all(text, '{pat}'))::INT AS n_pieces,
+       CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+            THEN round(length(text)::DOUBLE
+                       / len(regexp_extract_all(text, '{pat}')), 6)
+            ELSE 0.0 END AS chars_per_piece
+FROM documents
+""".format(pat=textstats.BPE_PIECE_RE.replace("'", "''"))
+
+
+@register("bpe_piece_counts", ORACLE_BPE)
+def q_bpe_piece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.bpe_piece_counts(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id", "n_chars", "n_pieces", _r("chars_per_piece").alias("chars_per_piece")
+    )

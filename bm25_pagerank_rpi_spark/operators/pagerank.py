@@ -114,13 +114,22 @@ def _pagerank_loop(
     redistribute_dangling: bool,
     checkpoint_every: int,
 ) -> DataFrame:
+    """``nodes`` may carry optional ``_base`` (per-node teleport mass added
+    each step) and ``_init`` (starting rank) columns — the seam that makes
+    the same exchange-free loop serve both uniform PageRank (base =
+    (1-d)/n, init = 1/n everywhere) and personalized PageRank (mass
+    concentrated on a source set). Defaults preserve uniform semantics
+    bit-for-bit: F.lit((1-d)/n) is the same literal the base column holds."""
+    if "_base" not in nodes.columns:
+        nodes = nodes.withColumn("_base", F.lit((1.0 - damping) / n))
+    if "_init" not in nodes.columns:
+        nodes = nodes.withColumn("_init", F.lit(1.0 / n))
     nodes = nodes.repartition(npart, "node").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     edeg = edges.join(deg, "src").repartition(npart, "src").persist()
     edeg.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.col("_init").alias("rank"))
     for i in range(iterations):
         contribs = (
             ranks.join(edeg, ranks.node == edeg.src)
@@ -132,7 +141,7 @@ def _pagerank_loop(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                (F.col("_base") + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             )
         )
         if redistribute_dangling:
@@ -155,6 +164,59 @@ def _pagerank_loop(
     edeg.unpersist()
     nodes.unpersist()
     return out
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Topic-sensitive (personalized) PageRank: the teleport vector is
+    uniform over ``sources`` (one column ``node``) instead of over all
+    nodes, so rank mass localizes around the source set — "importance
+    relative to these conversations/documents" (Haveliwala 2002), the
+    standard seed-expansion primitive for related-content discovery.
+
+    Same exchange-free iteration as :func:`pagerank` (co-partitioned
+    nodes/edges, one shuffle per step — the contribution aggregation);
+    the only difference is the per-node teleport column:
+    init = base = concentrated on S. Dangling mass is not redistributed
+    (matches the uniform variant's oracle-checkable convention).
+    Returns (node, pagerank)."""
+    n = nodes.count()
+    n_src = sources.count()
+    if n == 0 or n_src == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    spark = nodes.sparkSession
+    src = sources.select("node").withColumn("_is_src", F.lit(True))
+    annotated = (
+        nodes.join(F.broadcast(src), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_is_src"), F.lit((1.0 - damping) / n_src))
+            .otherwise(F.lit(0.0))
+            .alias("_base"),
+            F.when(F.col("_is_src"), F.lit(1.0 / n_src))
+            .otherwise(F.lit(0.0))
+            .alias("_init"),
+        )
+    )
+    npart = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+        or spark.sparkContext.defaultParallelism
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(
+            spark, annotated, edges, n, npart, damping, iterations,
+            False, checkpoint_every,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
 
 def link_info(nodes: DataFrame, edges: DataFrame) -> DataFrame:

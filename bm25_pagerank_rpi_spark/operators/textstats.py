@@ -27,7 +27,7 @@ byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import phash
@@ -318,6 +318,203 @@ def dataset_split(
     for name, hi in zip(reversed(names[:-1]), reversed(bounds[:-1])):
         expr = F.when(h < hi, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+# GPT-2-style pre-tokenization pieces, ASCII-restricted so the same
+# pattern means the same thing in Java regex (Spark), RE2 (DuckDB
+# oracle), and Python re (tests) — no lookarounds, no unicode classes
+BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def bpe_piece_counts(docs: DataFrame) -> DataFrame:
+    """Tokenizer-piece statistics per document: the number of GPT-2-style
+    pre-tokenization pieces (``BPE_PIECE_RE``) and the chars-per-piece
+    ratio — the cheap proxy a curation pipeline uses for "how many LLM
+    tokens will this cost" and for flagging token-inefficient content
+    (boilerplate markup, hex dumps score low chars/piece). Whole-stage
+    codegen projection, zero shuffle; the regex count is the piece count
+    a byte-level BPE would start from (merges only reduce it).
+
+    Returns (doc_id, n_chars, n_pieces, chars_per_piece)."""
+    pieces = F.regexp_extract_all("text", F.lit(f"({BPE_PIECE_RE})"), 1)
+    n_pieces = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_pieces.alias("n_pieces"),
+        F.when(n_pieces > 0, F.length("text") / n_pieces)
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_piece"),
+    )
+
+
+def dataset_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-domain subsampling to target mixture rates — the
+    companion of :func:`dataset_split` for LLM-data mixture weighting
+    ("keep 100% of code, 30% of web, 5% of boilerplate"). Membership is a
+    pure function of (salt, id): ``phash(salt || id) % 10^6 < rate·10^6``
+    per group, so the sample is stable across runs/cluster sizes, is a
+    SUBSET of any higher-rate sample of the same salt (rates can be
+    tuned monotonically without churn), and composes with
+    ``dataset_split`` under a different salt. Groups absent from
+    ``rates`` keep ``default_rate``. Zero shuffle — one projection +
+    filter, pushed to the scan."""
+    h = F.pmod(
+        phash(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    thresh = F.lit(int(round(default_rate * 1_000_000)))
+    for name, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(group_col).cast("string") == name,
+            F.lit(int(round(rate * 1_000_000))),
+        ).otherwise(thresh)
+    return df.filter(h < thresh)
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    salt: str = "pack-v1",
+    npart: int | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards — the
+    "write N ~equal shards" step of a dataset export, deterministic and
+    fully distributed.
+
+    Documents are ordered by ``phash(salt || id)`` (a stable
+    data-independent permutation that decorrelates shard membership from
+    source order — adjacent source docs land in different shards), the
+    GLOBAL running token total is computed with the same two-phase
+    range-partition + per-partition-offset pattern as
+    functions/ordinal.dense_ordinal (no single-partition window), and
+
+        shard_id = floor(tokens_before_doc / budget_tokens)
+
+    Docs are never split, so a shard can overflow by at most its last
+    document. Returns (id, n_tokens, shard_id).
+
+    Scale shape: one range shuffle on the hash key + a tiny per-partition
+    sum collect (#partitions rows) — the window below is per-PARTITION,
+    never global."""
+    spark = docs.sparkSession
+    npart = npart or max(spark.sparkContext.defaultParallelism, 4)
+    key = phash(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string")))
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens_col("text")).alias("n_tokens"),
+        key.alias("_k"),
+    )
+    ranged = (
+        toks.repartitionByRange(npart, "_k", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sums = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+        offsets, acc = {}, 0
+        for r in sorted(sums, key=lambda r: r._pid):
+            offsets[r._pid] = acc
+            acc += int(r.s or 0)
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy("_k", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = (
+            ranged.withColumn(
+                "_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            )
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                id_col,
+                "n_tokens",
+                F.floor((F.col("_off") + F.col("_cum")) / F.lit(int(budget_tokens)))
+                .cast("long")
+                .alias("shard_id"),
+            )
+        )
+        # materialization contract mirrors dense_ordinal: the count pass and
+        # the window pass must see the same sampled range boundaries, so the
+        # intermediate stays pinned until the result is consumed; localCheckpoint
+        # cuts the lineage so the caller needs no unpersist choreography
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out
+
+
+def lm_cross_entropy(docs: DataFrame, k_smooth: float = 1.0) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram language
+    model with add-k smoothing — the classic statistical-LM quality
+    signal a curation pipeline uses to rank documents by "fluency"
+    relative to the corpus (the cheap stand-in for a neural-perplexity
+    filter; cf. the CCNet/KenLM filtering recipe).
+
+        P(w2|w1) = (C(w1,w2) + k) / (C(w1·) + k·V)
+        ce(doc)  = -(1/B) Σ_positions ln P(w2|w1)
+
+    with C(w1·) the bigram-context count (Σ_w2 C(w1,w2)), V the corpus
+    vocabulary size, and B the document's bigram count (multiplicity as
+    written). Lower = more typical of the corpus; boilerplate repeated
+    corpus-wide scores low, line noise scores high.
+
+    Shape at scale: one zip_with + explode into per-position bigrams,
+    then a (doc_id, w1, w2) hash agg; corpus bigram counts REUSE that
+    aggregate (sum of m) rather than re-shuffling raw pairs, context
+    counts reuse the bigram counts, and the vocabulary size is a 1-row
+    broadcast. The only corpus-sized joins are doc-bigrams ⋈ bigram
+    counts (equi-join on the bigram key, the same zipf distribution the
+    posting build salts) — nothing quadratic, no Python.
+
+    Returns (doc_id, n_bigrams, cross_entropy); documents with fewer
+    than 2 tokens have no bigrams and are absent (nothing to score).
+    """
+    toks = docs.select("doc_id", tokens_col("text").alias("l"))
+    tail = F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0)))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                "l", tail, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+            )
+        ).alias("p"),
+    ).filter(F.col("p.w2").isNotNull())
+    dbig = (
+        pairs.select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    big = dbig.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode("l").alias("term")).agg(
+        F.countDistinct("term").cast("double").alias("v")
+    )
+    k = F.lit(float(k_smooth))
+    lp = F.log(
+        (F.col("c12") + k) / (F.col("c1") + k * F.col("v"))
+    )
+    return (
+        dbig.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("int").alias("n_bigrams"),
+            (-F.sum(F.col("m") * lp) / F.sum("m")).alias("cross_entropy"),
+        )
+    )
 
 
 def collocations_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:

@@ -279,6 +279,78 @@ def _make_encode_unsorted_fn(
 TARGET_ENCODE_ROWS = 3_000_000
 
 
+def _make_tf_agg_arrow_fn():
+    """Streaming run-length TF aggregation for ``mapInArrow``: input rows
+    are raw (term, doc_int, doc_length, bucket) TOKEN occurrences,
+    hash-distributed on the postings WRITE layout (bucket, doc-stripe)
+    and sorted by (term, doc_int); consecutive equal (term, doc_int)
+    runs collapse to one posting row with tf = run length.
+
+    Why not groupBy: on realistic zipf vocabularies most (term, doc_int)
+    pairs are unique, so Catalyst's partial aggregation reduces almost
+    nothing while the plan still pays TWO full exchanges (the agg shuffle
+    + the write-layout repartition). Fusing the agg into the write-layout
+    shuffle moves each token exactly once: one exchange of slim rows, a
+    cache-friendly Tungsten sort, and a vectorized Arrow pass — the same
+    boundary-discovery machinery as the block encoder. Correct because
+    bucket = f(term) and stripe = f(doc_int), so every (term, doc_int)
+    group is complete within its partition. Groups spanning Arrow batch
+    boundaries are buffered exactly like _make_encode_arrow_fn."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _concat(b1: pa.RecordBatch, b2: pa.RecordBatch) -> pa.RecordBatch:
+        tbl = pa.Table.from_batches([b1, b2]).combine_chunks()
+        return tbl.to_batches()[0]
+
+    def _change(batch: pa.RecordBatch) -> np.ndarray:
+        n = batch.num_rows
+        terms = batch.column("term")
+        docs = batch.column("doc_int").to_numpy()
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = pc.not_equal(
+                terms.slice(1, n - 1), terms.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False) | (docs[1:] != docs[:-1])
+        return change
+
+    def _agg(batch: pa.RecordBatch) -> pa.RecordBatch:
+        n = batch.num_rows
+        change = _change(batch)
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        idx = pa.array(starts, type=pa.int64())
+        return pa.RecordBatch.from_arrays(
+            [
+                pc.take(batch.column("term"), idx),
+                pc.take(batch.column("doc_int"), idx),
+                pa.array(counts.astype(np.int32)),
+                pc.take(batch.column("doc_length"), idx),
+                pc.take(batch.column("bucket"), idx),
+            ],
+            names=["term", "doc_int", "tf", "doc_length", "bucket"],
+        )
+
+    def fn(batches):
+        pending: pa.RecordBatch | None = None
+        for batch in batches:
+            if pending is not None:
+                batch = _concat(pending, batch)
+                pending = None
+            n = batch.num_rows
+            if n == 0:
+                continue
+            last_start = int(np.flatnonzero(_change(batch))[-1])
+            head, pending = batch.slice(0, last_start), batch.slice(last_start)
+            if head.num_rows:
+                yield _agg(head)
+        if pending is not None and pending.num_rows:
+            yield _agg(pending)
+
+    return fn
+
+
 def with_range_routing(
     post: DataFrame, range_rows: int, tail_df_threshold: int | None
 ) -> DataFrame:
@@ -460,32 +532,60 @@ def build_index(
                 F.sort_array(F.collect_list("pos")).alias("positions"),
             )
             extra = ["positions"]
+            # co-locate buckets for the write, but do NOT cap write
+            # parallelism at n_buckets tasks: sub-split each bucket by a
+            # doc_int stripe so the write uses ~cluster parallelism while
+            # file count stays bounded at n_buckets x files_per_bucket
+            files_per_bucket = max(
+                1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
+            )
+            post = (
+                tf.select(
+                    "term", "doc_int", "tf", "doc_length", *extra,
+                    term_bucket("term", n_buckets).alias("bucket"),
+                )
+                .repartition(
+                    n_buckets * files_per_bucket,
+                    "bucket",
+                    F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
+                )
+            )
         else:
+            # fused single-shuffle path: the TF aggregation rides the
+            # write-layout exchange (see _make_tf_agg_arrow_fn for why
+            # groupBy pays two exchanges for nothing on zipf vocab).
+            # bucket/stripe keys preserve the exact table layout of the
+            # two-shuffle plan, so readers are unaffected.
+            files_per_bucket = max(
+                1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
+            )
             toks = joined.select(
-                "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
+                "doc_int",
+                "doc_length",
+                F.explode(tokens_col("text")).alias("term"),
+            ).withColumn("bucket", term_bucket("term", n_buckets))
+            post = (
+                toks.repartition(
+                    n_buckets * files_per_bucket,
+                    "bucket",
+                    F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
+                )
+                .sortWithinPartitions("term", "doc_int")
+                .mapInArrow(
+                    _make_tf_agg_arrow_fn(),
+                    "term string, doc_int long, tf int, doc_length int, bucket int",
+                )
             )
-            tf = toks.groupBy("term", "doc_int").agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
-            )
-            extra = []
-        # co-locate buckets for the write, but do NOT cap write
-        # parallelism at n_buckets tasks: sub-split each bucket by a
-        # doc_int stripe so the write uses ~cluster parallelism while
-        # file count stays bounded at n_buckets x files_per_bucket
-        files_per_bucket = max(1, (spark.sparkContext.defaultParallelism * 2) // n_buckets)
-        post = (
-            tf.select(
-                "term", "doc_int", "tf", "doc_length", *extra,
-                term_bucket("term", n_buckets).alias("bucket"),
-            )
-            .repartition(
-                n_buckets * files_per_bucket,
-                "bucket",
-                F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
-            )
-        )
-        out = cat.write(post, "postings", partition_by=["bucket"])
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev_batch = spark.conf.get(batch_key, None)
+        spark.conf.set(batch_key, str(1 << 19))
+        try:
+            out = cat.write(post, "postings", partition_by=["bucket"])
+        finally:
+            if prev_batch is None:
+                spark.conf.unset(batch_key)
+            else:
+                spark.conf.set(batch_key, prev_batch)
         n = cat.postings().count()
         return out, n, {"postings": n}
 

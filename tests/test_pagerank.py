@@ -91,3 +91,37 @@ def test_pagerank_empty_graph(spark):
     got = {r.node: r.pagerank for r in pagerank.pagerank(nodes, edges, iterations=3).collect()}
     # no edges: every iteration resets to (1-d)/N
     assert got[0] == pytest.approx(0.15 / 2, abs=1e-12)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    # ring of 6 with a chord; sources = {0, 3}
+    edges = [(i, (i + 1) % 6) for i in range(6)] + [(1, 4)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    src_df = spark.createDataFrame([(0,), (3,)], "node long")
+    got = {
+        r.node: r.pagerank
+        for r in pagerank.personalized_pagerank(
+            nodes_df, edges_df, src_df, damping=0.85, iterations=12
+        ).collect()
+    }
+
+    d, iters = 0.85, 12
+    out_deg = {i: 0 for i in range(6)}
+    for s, _t in edges:
+        out_deg[s] += 1
+    base = np.zeros(6)
+    base[[0, 3]] = (1 - d) / 2
+    rank = np.zeros(6)
+    rank[[0, 3]] = 1 / 2
+    for _ in range(iters):
+        new = base.copy()
+        for s, t in edges:
+            new[t] += d * rank[s] / out_deg[s]
+        rank = new
+    for i in range(6):
+        assert got[i] == pytest.approx(rank[i], abs=1e-12), i
+    # mass localizes: a source outranks the node furthest from both sources
+    assert got[0] > got[5] or got[3] > got[5]

@@ -181,3 +181,115 @@ def test_ngram_contamination(spark):
     # a doc IS its own contamination if it appears in the benchmark
     self_hit = textstats.ngram_contamination(bench, bench, n=5).collect()[0]
     assert self_hit.contamination_frac == 1.0
+
+
+class TestLmCrossEntropy:
+    def test_closed_form(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [("d1", "a b a b"), ("d2", "a b c")], "doc_id string, text string"
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.cross_entropy)
+            for r in textstats.lm_cross_entropy(docs).collect()
+        }
+        # corpus model: C(a,b)=3 C(b,a)=1 C(b,c)=1; contexts a·=3 b·=2; V=3
+        p_ab = (3 + 1) / (3 + 3)
+        p_ba = (1 + 1) / (2 + 3)
+        p_bc = (1 + 1) / (2 + 3)
+        want_d1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+        want_d2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+        assert got["d1"][0] == 3 and got["d2"][0] == 2
+        assert got["d1"][1] == pytest.approx(want_d1, rel=1e-12)
+        assert got["d2"][1] == pytest.approx(want_d2, rel=1e-12)
+
+    def test_short_docs_absent_and_boilerplate_scores_low(self, spark):
+        rows = [("one", "solo")] + [
+            (f"b{i}", "the same boilerplate line here") for i in range(20)
+        ] + [("odd", "qq zz vv kk pp")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {r.doc_id: r.cross_entropy
+               for r in textstats.lm_cross_entropy(docs).collect()}
+        assert "one" not in out  # < 2 tokens -> no bigrams
+        # the repeated boilerplate is maximally typical; the line noise is not
+        assert out["b0"] < out["odd"]
+
+
+class TestDatasetMixAndPacking:
+    def test_mix_rates_and_determinism(self, spark):
+        rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+                for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = textstats.dataset_mix(
+            df, {"en": 1.0, "de": 0.5, "fr": 0.0}, group_col="lang",
+            default_rate=0.0,
+        )
+        got = {(r.doc_id, r.lang) for r in out.collect()}
+        got2 = {(r.doc_id, r.lang) for r in out.collect()}
+        assert got == got2  # deterministic
+        en = {g for g in got if g[1] == "en"}
+        de = {g for g in got if g[1] == "de"}
+        fr = {g for g in got if g[1] == "fr"}
+        assert len(en) == 1000 and len(fr) == 0
+        assert 0.35 * 1000 < len(de) < 0.65 * 1000
+        # monotone: raising a rate only ADDS rows (subset property)
+        bigger = {
+            (r.doc_id, r.lang)
+            for r in textstats.dataset_mix(
+                df, {"en": 1.0, "de": 0.8, "fr": 0.0}, group_col="lang"
+            ).collect()
+        }
+        assert got <= bigger
+
+    def test_pack_shards_matches_sequential_oracle(self, spark):
+        import hashlib
+
+        rows = [(f"d{i}", "tok " * (i % 37 + 1)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        budget = 300
+        got = {r.doc_id: (r.n_tokens, r.shard_id)
+               for r in textstats.pack_shards(df, budget).collect()}
+
+        def phash_py(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        seq = sorted(
+            ((phash_py(f"pack-v1-{d}"), d, len(t.split())) for d, t in rows)
+        )
+        cum, want = 0, {}
+        for _k, d, n in seq:
+            want[d] = (n, cum // budget)
+            cum += n
+        assert got == want
+        # shards fill to budget: every shard's token total reaches the
+        # budget before the next shard starts (can overflow by one doc)
+        totals: dict[int, int] = {}
+        for n, s in got.values():
+            totals[s] = totals.get(s, 0) + n
+        last = max(totals)
+        for s, tot in totals.items():
+            if s != last:
+                assert tot + max(n for n, _ in got.values()) > budget
+
+
+class TestBpePieceCounts:
+    def test_matches_python_re(self, spark):
+        import re
+
+        rows = [
+            (1, "hello world's 3rd test-case!!  x9"),
+            (2, "it'll re've 'quote' a,b;c"),
+            (3, ""),
+            (4, "  lead tab\tnew\nline"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_pieces, r.chars_per_piece)
+               for r in textstats.bpe_piece_counts(docs).collect()}
+        for did, text in rows:
+            want = len(re.findall(textstats.BPE_PIECE_RE, text))
+            assert got[did][0] == want, (did, text)
+            if want:
+                assert got[did][1] == pytest.approx(len(text) / want)
+            else:
+                assert got[did][1] == 0.0
