@@ -286,16 +286,21 @@ def _make_tf_agg_arrow_fn():
     and sorted by (term, doc_int); consecutive equal (term, doc_int)
     runs collapse to one posting row with tf = run length.
 
-    Why not groupBy: on realistic zipf vocabularies most (term, doc_int)
-    pairs are unique, so Catalyst's partial aggregation reduces almost
-    nothing while the plan still pays TWO full exchanges (the agg shuffle
-    + the write-layout repartition). Fusing the agg into the write-layout
-    shuffle moves each token exactly once: one exchange of slim rows, a
-    cache-friendly Tungsten sort, and a vectorized Arrow pass — the same
-    boundary-discovery machinery as the block encoder. Correct because
-    bucket = f(term) and stripe = f(doc_int), so every (term, doc_int)
-    group is complete within its partition. Groups spanning Arrow batch
-    boundaries are buffered exactly like _make_encode_arrow_fn."""
+    Rationale tried: on zipf vocabularies most (term, doc_int) pairs are
+    unique, so Catalyst's partial aggregation reduces almost nothing while
+    the groupBy plan pays TWO full exchanges (agg shuffle + write-layout
+    repartition); fusing the agg into the write-layout shuffle moves each
+    token exactly once. Correct because bucket = f(term) and
+    stripe = f(doc_int), so every (term, doc_int) group is complete within
+    its partition; batch-spanning groups buffer like _make_encode_arrow_fn.
+
+    MEASURED WORSE and therefore NOT used by the build: at 8 cores on the
+    76M-token zipf corpus this path ran 3-4x slower than the groupBy plan
+    (phase diagnosis: the mapInArrow agg added ~2x the stage's whole JVM
+    cost) — unlike the block encoder, whose output is tiny, the TF agg
+    round-trips BOTH directions at corpus scale (~140M rows of strings
+    through Arrow IPC), while Catalyst's hash agg stays inside whole-stage
+    codegen. Kept as the documented counterfactual with a parity test."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -551,41 +556,39 @@ def build_index(
                 )
             )
         else:
-            # fused single-shuffle path: the TF aggregation rides the
-            # write-layout exchange (see _make_tf_agg_arrow_fn for why
-            # groupBy pays two exchanges for nothing on zipf vocab).
-            # bucket/stripe keys preserve the exact table layout of the
-            # two-shuffle plan, so readers are unaffected.
+            # same groupBy plan as the positional branch, minus positions.
+            # A fused single-shuffle variant (TF agg riding the write-layout
+            # exchange via sort + streaming Arrow run-length agg,
+            # _make_tf_agg_arrow_fn) was built and measured 3-4x SLOWER at
+            # 8 cores on the 76M-token zipf corpus: the Arrow round-trip of
+            # ~140M rows (tokens in, postings out, strings both ways)
+            # dwarfs the exchange it saves, while Catalyst's hash agg stays
+            # JVM-side in whole-stage codegen even when zipf uniqueness
+            # makes the partial step useless. Kept as the documented
+            # counterfactual, exercised by tests for correctness parity.
+            toks = joined.select(
+                "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
+            )
+            tf = toks.groupBy("term", "doc_int").agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
+            )
+            extra = []
             files_per_bucket = max(
                 1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
             )
-            toks = joined.select(
-                "doc_int",
-                "doc_length",
-                F.explode(tokens_col("text")).alias("term"),
-            ).withColumn("bucket", term_bucket("term", n_buckets))
             post = (
-                toks.repartition(
+                tf.select(
+                    "term", "doc_int", "tf", "doc_length", *extra,
+                    term_bucket("term", n_buckets).alias("bucket"),
+                )
+                .repartition(
                     n_buckets * files_per_bucket,
                     "bucket",
                     F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
                 )
-                .sortWithinPartitions("term", "doc_int")
-                .mapInArrow(
-                    _make_tf_agg_arrow_fn(),
-                    "term string, doc_int long, tf int, doc_length int, bucket int",
-                )
             )
-        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        prev_batch = spark.conf.get(batch_key, None)
-        spark.conf.set(batch_key, str(1 << 19))
-        try:
-            out = cat.write(post, "postings", partition_by=["bucket"])
-        finally:
-            if prev_batch is None:
-                spark.conf.unset(batch_key)
-            else:
-                spark.conf.set(batch_key, prev_batch)
+        out = cat.write(post, "postings", partition_by=["bucket"])
         n = cat.postings().count()
         return out, n, {"postings": n}
 

@@ -296,3 +296,42 @@ def test_build_empty_and_degenerate_corpora(spark, tmp_path):
     n, avgdl = cat2.scalar_stats()
     assert n == 3 and avgdl == 0.0
     assert wand.wand_topk(cat2, q, k=5).count() == 0
+
+
+def test_tf_agg_arrow_counterfactual_parity(spark, corpus):
+    """The fused-shuffle TF aggregator (measured-worse counterfactual of
+    stage 2's groupBy plan — see _make_tf_agg_arrow_fn) must produce the
+    identical postings relation."""
+    from pyspark.sql import functions as F
+
+    from bm25_pagerank_rpi_spark.functions.tokenize import tokens_col
+    from bm25_pagerank_rpi_spark.plans.index_build import _make_tf_agg_arrow_fn
+    from bm25_pagerank_rpi_spark.sources.catalog import term_bucket
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_int long, text string"
+    ).withColumn("doc_length", F.size(tokens_col("text")))
+    toks = docs.select(
+        "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
+    ).withColumn("bucket", term_bucket("term", 4))
+    want = {
+        (r.term, r.doc_int): (r.tf, r.doc_length, r.bucket)
+        for r in toks.groupBy("term", "doc_int")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.max("doc_length").alias("doc_length"),
+            F.max("bucket").alias("bucket"),
+        )
+        .collect()
+    }
+    got = {
+        (r.term, r.doc_int): (r.tf, r.doc_length, r.bucket)
+        for r in toks.repartition(4, "bucket", F.pmod(F.col("doc_int"), F.lit(2)))
+        .sortWithinPartitions("term", "doc_int")
+        .mapInArrow(
+            _make_tf_agg_arrow_fn(),
+            "term string, doc_int long, tf int, doc_length int, bucket int",
+        )
+        .collect()
+    }
+    assert got == want
