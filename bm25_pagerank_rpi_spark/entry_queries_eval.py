@@ -349,3 +349,61 @@ def q_search_query_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.query_language import search
 
     return search(_docs(spark, sf_dir), _QLB_QUERY, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the BM25 run and a length-ordered run
+# (Webber et al. 2010, truncated @10, p=0.9). The oracle computes the
+# per-doc prefix weight W(m) = sum_{d=m..k} p^(d-1)/d via generate_series.
+# ---------------------------------------------------------------------------
+
+_RBO_K = 10
+_RBO_P = 0.9
+
+ORACLE_RBO = SQL_SKELETON + f"""
+, run_a AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+  FROM perdoc QUALIFY rank <= {_RBO_K}
+),
+run_b AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents QUALIFY rank <= {_RBO_K}
+),
+matched AS (
+  SELECT a.doc_id, greatest(a.rank, b.rank) AS m
+  FROM run_a a JOIN run_b b USING (doc_id)
+),
+contrib AS (
+  SELECT sum(pow({_RBO_P}, d.d - 1) / d.d) AS w
+  FROM matched, generate_series(1, {_RBO_K}) AS d(d)
+  WHERE d.d >= matched.m
+)
+SELECT 'q1' AS query_id,
+       round((1 - {_RBO_P}) * coalesce((SELECT w FROM contrib), 0), 6) AS rbo
+"""
+
+
+@register("rbo_rank_similarity", ORACLE_RBO)
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark),
+    )
+    run_a = scorer.topk(
+        sc.select("query_id", "doc_id", _r("bm25").alias("bm25")), _RBO_K
+    ).select("query_id", "doc_id", "rank")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    run_b = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RBO_K)
+        .select(F.lit("q1").alias("query_id"), "doc_id", "rank")
+    )
+    out = evaluation.rbo(run_a, run_b, k=_RBO_K, p=_RBO_P)
+    return out.select("query_id", _r("rbo").alias("rbo"))

@@ -120,3 +120,52 @@ def eval_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ap"),
     )
+
+
+def rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap@k (Webber, Moffat & Zobel 2010, truncated
+    form, no extrapolation) between two runs per query — the standard
+    top-weighted similarity for comparing two rankers (exact vs WAND,
+    two fusion legs, index versions):
+
+        RBO@k = (1-p) * Σ_{d=1..k} p^(d-1) * |A[:d] ∩ B[:d]| / d
+
+    A doc ranked ra in A and rb in B joins every prefix d >= max(ra, rb),
+    so its total contribution is W(m) = Σ_{d=m..k} p^(d-1)/d with
+    m = max(ra, rb) — W is a k-entry constant table computed driver-side
+    and inlined as an array literal, making the whole metric one
+    equi-join on (query_id, doc_id) plus a hash agg per query. Queries
+    with disjoint prefixes score 0; identical prefixes score
+    (1-p) * Σ p^(d-1) (≈1 for k→∞).
+
+    Inputs: (query_id, doc_id, rank), 1-based; rows with rank > k are
+    ignored. Returns (query_id, rbo).
+    """
+    w = [0.0] * (k + 2)
+    for d in range(k, 0, -1):
+        w[d] = w[d + 1] + (p ** (d - 1)) / d
+    warr = F.array(*[F.lit(float(w[m])) for m in range(1, k + 1)])
+
+    a = run_a.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("_ra")
+    )
+    b = run_b.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("_rb")
+    )
+    m = F.greatest("_ra", "_rb").cast("int")
+    qids = a.select("query_id").union(b.select("query_id")).distinct()
+    per_q = (
+        a.join(b, ["query_id", "doc_id"])
+        .select("query_id", F.element_at(warr, m).alias("_w"))
+        .groupBy("query_id")
+        .agg((F.lit(1.0 - p) * F.sum("_w")).alias("rbo"))
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select("query_id", F.coalesce("rbo", F.lit(0.0)).alias("rbo"))
+    )

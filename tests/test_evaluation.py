@@ -201,3 +201,35 @@ def test_quantiles_match_numpy(spark):
     expect = np.percentile(vals, [25, 50, 90], method="linear")
     for g, e in zip(got, expect):
         assert g == pytest.approx(float(e), abs=1e-9)
+
+
+class TestRbo:
+    def test_closed_form(self, spark):
+        # A = [d1,d2,d3], B = [d2,d1,d4]; k=3, p=0.5
+        # overlaps: X_1=0, X_2=2 (d1,d2), X_3=2
+        # RBO = (1-p) * (p^0*0/1 + p^1*2/2 + p^2*2/3)
+        a = spark.createDataFrame(
+            [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+            "query_id string, doc_id string, rank int",
+        )
+        b = spark.createDataFrame(
+            [("q", "d2", 1), ("q", "d1", 2), ("q", "d4", 3)],
+            "query_id string, doc_id string, rank int",
+        )
+        got = evaluation.rbo(a, b, k=3, p=0.5).collect()[0]
+        want = 0.5 * (0.5 * 1.0 + 0.25 * 2 / 3)
+        assert got.rbo == pytest.approx(want, abs=1e-12)
+
+    def test_identical_and_disjoint(self, spark):
+        a = spark.createDataFrame(
+            [("q", f"d{i}", i) for i in range(1, 6)],
+            "query_id string, doc_id string, rank int",
+        )
+        ident = evaluation.rbo(a, a, k=5, p=0.9).collect()[0].rbo
+        want = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 6))
+        assert ident == pytest.approx(want, abs=1e-12)
+        b = spark.createDataFrame(
+            [("q", f"x{i}", i) for i in range(1, 6)],
+            "query_id string, doc_id string, rank int",
+        )
+        assert evaluation.rbo(a, b, k=5).collect()[0].rbo == 0.0
