@@ -27,6 +27,9 @@ operators this repo already has into ONE executable plan:
                     end (Lucene range syntax). The literal casts to the
                     COLUMN's type, so n_chars:[20 TO 100] compares
                     numerically, not lexicographically.
+  -field:[a TO b]   corpus filter: keeps docs OUTSIDE the inclusive
+                    range (NULL field values survive — they never match
+                    a range, so negation keeps them).
 
 Two-level predicate semantics, deliberately:
 - field filters restrict the CORPUS (they change N, avgdl, df — you are
@@ -56,7 +59,9 @@ from ..functions.tokenize import tokens_col
 from . import scorer
 from .phrase import phrase_tf_col
 
-_TOKEN_RE = re.compile(r'-"([^"]*)"|"([^"]*)"|(\w+):\[([^\]]*)\]|(\S+)')
+_TOKEN_RE = re.compile(
+    r'-"([^"]*)"|"([^"]*)"|-(\w+):\[([^\]]*)\]|(\w+):\[([^\]]*)\]|(\S+)'
+)
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _RANGE_RE = re.compile(r"^\s*(\S+)\s+TO\s+(\S+)\s*$")
 
@@ -69,6 +74,9 @@ class ParsedQuery:
     excludes: list[str] = field(default_factory=list)
     fields: list[tuple[str, str]] = field(default_factory=list)
     ranges: list[tuple[str, str | None, str | None]] = field(default_factory=list)
+    neg_ranges: list[tuple[str, str | None, str | None]] = field(
+        default_factory=list
+    )
 
 
 def parse_query(text: str) -> ParsedQuery:
@@ -86,7 +94,7 @@ def parse_query(text: str) -> ParsedQuery:
             pq.weights.append(w)
 
     for m in _TOKEN_RE.finditer(text or ""):
-        neg_phrase, phrase, rfield, rbody, tok = m.groups()
+        neg_phrase, phrase, nrfield, nrbody, rfield, rbody, tok = m.groups()
         if neg_phrase is not None:
             ph = neg_phrase.split()
             if ph:
@@ -99,6 +107,15 @@ def parse_query(text: str) -> ParsedQuery:
                 for p in ph:
                     pq.terms.append(p)
                     pq.weights.append(1.0)
+            continue
+        if nrfield is not None:
+            rm = _RANGE_RE.match(nrbody)
+            if rm:
+                lo = None if rm.group(1) == "*" else rm.group(1)
+                hi = None if rm.group(2) == "*" else rm.group(2)
+                pq.neg_ranges.append((nrfield, lo, hi))
+            else:  # malformed negated range degrades to a bare token
+                add_term(f"-{nrfield}:[{nrbody}]")
             continue
         if rfield is not None:
             rm = _RANGE_RE.match(rbody)
@@ -152,6 +169,17 @@ def search(
             base = base.filter(F.col(f_) >= F.lit(lo).cast(dt))
         if hi is not None:
             base = base.filter(F.col(f_) <= F.lit(hi).cast(dt))
+    # -field:[a TO b] keeps docs OUTSIDE the inclusive range; a NULL field
+    # never matches a range so it survives the negation (coalesce).
+    for f_, lo, hi in pq.neg_ranges:
+        _check_field(docs, f_, text_col)
+        dt = dtypes[f_]
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(f_) >= F.lit(lo).cast(dt))
+        if hi is not None:
+            cond = cond & (F.col(f_) <= F.lit(hi).cast(dt))
+        base = base.filter(~F.coalesce(cond, F.lit(False)))
 
     if not pq.terms:
         spark = docs.sparkSession

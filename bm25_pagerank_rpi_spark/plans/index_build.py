@@ -631,7 +631,13 @@ def build_index(
         # larger Arrow batches amortize the per-batch boundary scan and
         # pending-group concat in the encoder (default 10k rows => ~75
         # batches per task here); restored after the stage so pandas UDF
-        # consumers elsewhere keep the default memory envelope
+        # consumers elsewhere keep the default memory envelope.
+        # CAVEAT: spark.conf is session-global — a concurrent job on the
+        # same SparkSession (e.g. a streaming incremental encode in another
+        # thread) would inherit the larger batch size for the duration of
+        # this write. The batch build owns its session today; if concurrent
+        # use becomes supported, run builds in a cloned session
+        # (spark.newSession()) whose conf mutations are isolated.
         batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
         prev_batch = spark.conf.get(batch_key, None)
         spark.conf.set(batch_key, str(1 << 19))

@@ -166,3 +166,40 @@ def test_search_range_unknown_field_raises(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError, match="unknown field"):
         search(docs, "alpha nope:[1 TO 2]").collect()
+
+
+def test_parse_negated_range():
+    pq = parse_query("alpha -n_chars:[300 TO 900] -beta")
+    assert pq.terms == ["alpha"]
+    assert pq.neg_ranges == [("n_chars", "300", "900")]
+    assert pq.excludes == ["beta"]
+    # open ends compose with negation
+    pq = parse_query("alpha -ts:[* TO 2024-02-01]")
+    assert pq.neg_ranges == [("ts", None, "2024-02-01")]
+    # malformed negated range degrades to a bare token, like typos
+    pq = parse_query("alpha -a:[1 2]")
+    assert pq.neg_ranges == []
+    assert pq.terms == ["alpha", "-a:[1 2]"]
+
+
+def test_search_negated_range_filters_corpus(spark):
+    rows = [
+        ("d1", "alpha beta", 10),
+        ("d2", "alpha beta", 20),
+        ("d3", "alpha beta", 30),
+        ("d4", "alpha beta", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, n int")
+    got = {r.doc_id for r in search(docs, "alpha -n:[15 TO 25]", k=10).collect()}
+    assert got == {"d1", "d3", "d4"}  # NULL never matches a range -> kept
+    got = {r.doc_id for r in search(docs, "alpha -n:[* TO 15]", k=10).collect()}
+    assert got == {"d2", "d3", "d4"}
+    got = {r.doc_id for r in search(docs, "alpha -n:[25 TO *]", k=10).collect()}
+    assert got == {"d1", "d2", "d4"}
+    # negated range changes the CORPUS: stats describe the surviving set
+    full = {r.doc_id: r.bm25 for r in search(docs, "alpha", k=10).collect()}
+    filt = {
+        r.doc_id: r.bm25
+        for r in search(docs, "alpha -n:[15 TO 25]", k=10).collect()
+    }
+    assert filt["d1"] != full["d1"]

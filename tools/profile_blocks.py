@@ -177,19 +177,20 @@ def main() -> None:
         .mode("overwrite")
         .save(),
     )
-    enc = enc_un
-
-    # 4) full stage: + bucket repartition + parquet write
+    # 4) full stage: + bucket repartition + parquet write. This is the
+    # PRODUCTION path (repartition + sortWithinPartitions + arrow encoder,
+    # matching plans/index_build.py stage_blocks); the unsorted encoder is
+    # timed separately below as the counterfactual it is.
     files_per_bucket = max(
         1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
     )
 
-    def full():
-        out_dir = f"{base}/blocks_out_c{cores}"
+    def _full(df_fn, encoder, suffix):
+        out_dir = f"{base}/blocks_out_c{cores}_{suffix}"
         shutil.rmtree(out_dir, ignore_errors=True)
         (
-            unsorted_df()
-            .mapInArrow(enc, schema=index_build.BLOCK_SCHEMA)
+            df_fn()
+            .mapInArrow(encoder, schema=index_build.BLOCK_SCHEMA)
             .withColumn("bucket", term_bucket("term", n_buckets))
             .repartition(
                 n_buckets * files_per_bucket,
@@ -201,7 +202,10 @@ def main() -> None:
             .parquet(out_dir)
         )
 
-    timed("full_stage", full)
+    timed("full_stage", lambda: _full(sorted_df, enc_ar, "sorted"))
+    timed(
+        "full_stage_unsorted", lambda: _full(unsorted_df, enc_un, "unsorted")
+    )
 
     n_post = cat.postings().count()
     print(
@@ -229,7 +233,12 @@ def main() -> None:
                         timings["encode_unsorted_noop"] - timings["shuffle_noop"], 3
                     ),
                     "write_only": round(
-                        timings["full_stage"] - timings["encode_unsorted_noop"], 3
+                        timings["full_stage"] - timings["encode_noop"], 3
+                    ),
+                    "write_only_unsorted": round(
+                        timings["full_stage_unsorted"]
+                        - timings["encode_unsorted_noop"],
+                        3,
                     ),
                 },
             }
