@@ -67,6 +67,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra_metrics: dict[str, float] = {}
 
+    # host-window quality (VERDICT r3 #8): the box's effective memory
+    # bandwidth wanders >10x minute-to-minute, so every suite run carries
+    # its own pre/post probes — round-over-round tables self-qualify
+    # instead of needing post-hoc diagnosis.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scaling import window_probe
+
+    extra_metrics["window_pre"] = window_probe()
+
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()
@@ -175,8 +184,11 @@ def main() -> None:
         t0 = time.time()
         sess.topk(bdf, k=K).count()
         batch_s = time.time() - t0
-        # extra_metrics, NOT timings: keeps the headline total comparable
-        # with earlier rounds (the driver diffs totals round-over-round)
+        # headline metric since round 4 (VERDICT r3 #6): batch serving is
+        # the deployment shape for offline re-ranking / high-QPS serving.
+        # Round-over-round total comparisons must subtract q_wand_batch64
+        # when diffing against rounds 1-3.
+        timings["q_wand_batch64"] = round(batch_s, 3)
         extra_metrics["wand_batch64_s"] = round(batch_s, 3)
         extra_metrics["wand_batch64_qps"] = round(64.0 / batch_s, 1)
 
@@ -255,6 +267,7 @@ def main() -> None:
     recall_at_10 = recall["r2"]  # the default serving radius
     ivf_recall = ann_recall["isotropic"]["ivf_fixed"]["nprobe4"]["recall"]
 
+    extra_metrics["window_post"] = window_probe()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

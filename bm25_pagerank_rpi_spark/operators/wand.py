@@ -57,6 +57,14 @@ RANKED_SCHEMA = "query_id string, doc_int long, bm25 double, rank int"
 # live in exactly one sub-shard, so per-doc contributions stay disjoint)
 TAIL_TERMS_PER_SHARD = 32
 
+# WandSession auto planning-mode threshold: vocabularies at or below this
+# size collect term stats into a driver dict (zero Spark jobs per query);
+# larger vocabularies plan via a Spark join over the cached term-stats
+# DataFrame. 1M terms x ~60 bytes of stats ≈ 60 MB of driver heap — safe on
+# any driver; a 10^9-term vocabulary would need ~60 GB and must stay
+# distributed.
+DRIVER_STATS_MAX_TERMS = 1_000_000
+
 
 def _live_keep_mask(d: np.ndarray, deleted: np.ndarray | None) -> np.ndarray | None:
     """Boolean keep-mask over doc ids ``d`` against a SORTED tombstone
@@ -469,9 +477,12 @@ class WandSession:
       reference API process holds in memory. Per-query planning then runs
       in pure Python with ZERO Spark jobs; previously the plan was a
       Spark join + collect per request, a whole extra job that floored
-      warm latency. For a vocabulary too large for driver memory, pass
-      ``driver_stats=False`` to fall back to Spark-join planning over a
-      cached term-stats DataFrame.
+      warm latency. The mode switches AUTOMATICALLY on vocabulary size
+      (``driver_stats=None``, the default): at most
+      ``driver_stats_max_terms`` (default 1M) terms are collected; a
+      larger vocabulary falls back to Spark-join planning over a cached
+      term-stats DataFrame so a 10^9-term index can never OOM the driver.
+      Pass ``driver_stats=True``/``False`` to force a mode.
     - ``doc_meta`` projection (doc_int, doc_id): joined after top-k.
     - ``blocks``: optionally preloaded (MEMORY_AND_DISK — an index larger
       than cluster memory spills instead of failing). Per-query bucket +
@@ -484,8 +495,9 @@ class WandSession:
         self,
         cat: IndexCatalog,
         preload_blocks: bool = True,
-        driver_stats: bool = True,
+        driver_stats: bool | None = None,
         low_latency: bool = True,
+        driver_stats_max_terms: int = DRIVER_STATS_MAX_TERMS,
     ):
         self.cat = cat
         # serving tunables, restored at close(): the session defaults are
@@ -521,6 +533,14 @@ class WandSession:
             )
         else:
             self.blocks = _blocks_with_range(cat)
+        # auto mode: collect the vocabulary into the driver only when it is
+        # small enough to be safe there; otherwise stay distributed. The
+        # vocab size comes from the build manifest (a local JSON read) and
+        # falls back to one count() job for indexes without a terms stage
+        # entry (e.g. hand-assembled catalogs in tests).
+        if driver_stats is None:
+            n_terms = self._vocab_size()
+            driver_stats = n_terms <= driver_stats_max_terms
         self._stats: dict[str, tuple[float, int, float, float, int]] | None
         if driver_stats:
             self._stats = {
@@ -536,6 +556,20 @@ class WandSession:
         self.meta.count()
         if preload_blocks:
             self.blocks.count()
+
+    def _vocab_size(self) -> int:
+        """Distinct-term count of the served index, preferring the build
+        manifest's terms-stage row count over a Spark job."""
+        st = self.cat.read_manifest().get("stages", {}).get("terms", {})
+        rows = st.get("rows")
+        if rows is not None:
+            return int(rows)
+        return self.cat.terms().count()
+
+    @property
+    def planning_mode(self) -> str:
+        """'driver' (in-process dict planning) or 'spark' (join planning)."""
+        return "driver" if self._stats is not None else "spark"
 
     def topk(self, queries: DataFrame, k: int = MAX_DOCUMENTS) -> DataFrame:
         """Same contract as :func:`wand_topk`, over the cached state. With

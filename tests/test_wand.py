@@ -199,3 +199,33 @@ def test_wand_session_driver_vs_spark_planning(spark, corpus, tmp_path):
     assert drv == cold
     assert spk == cold
     assert drv_text == {k: v for k, v in cold.items() if k[0] == "q0"}
+
+
+def test_wand_session_auto_planning_mode(spark, corpus, tmp_path):
+    """VERDICT r3 #4: the planning mode flips automatically on vocabulary
+    size — small vocab collects a driver dict, a vocab above the threshold
+    stays distributed (Spark-join planning), with identical results."""
+    cat = _build(spark, corpus, tmp_path / "idx")
+    vocab = len({t for text in corpus.values() for t in text.split()})
+    toks = sorted({t for text in corpus.values() for t in text.split()})
+    q_df = spark.createDataFrame(
+        [("q1", f"{toks[0]} {toks[3]} {toks[7]}")], "query_id string, text string"
+    )
+
+    def as_dict(rows):
+        return {(r.query_id, r.rank): (r.doc_id, r.bm25) for r in rows}
+
+    cold = as_dict(wand.wand_topk(cat, q_df, k=5).collect())
+    # default: auto mode, small vocab -> driver dict
+    with wand.WandSession(cat) as s:
+        assert s.planning_mode == "driver"
+        assert s._vocab_size() == vocab  # manifest row count, no Spark job
+        assert as_dict(s.topk(q_df, k=5).collect()) == cold
+    # threshold below the vocab -> automatic Spark-join planning
+    with wand.WandSession(cat, driver_stats_max_terms=vocab - 1) as s:
+        assert s.planning_mode == "spark"
+        assert as_dict(s.topk(q_df, k=5).collect()) == cold
+    # explicit override beats the threshold
+    with wand.WandSession(cat, driver_stats=True,
+                          driver_stats_max_terms=0) as s:
+        assert s.planning_mode == "driver"
