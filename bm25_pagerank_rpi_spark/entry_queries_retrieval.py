@@ -771,3 +771,102 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "term", "fg_df", "bg_df", _r("score").alias("score"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-backed twins (VERDICT r3 #3): same oracles as the from-raw pairs —
+# the twins plan against the shared cached driver index (pruned postings +
+# persisted terms table + trigram stage) and must be value-identical.
+# doc ids map back through the replicas=1 bijection doc_id = conv*8 + turn.
+# ---------------------------------------------------------------------------
+
+
+def _driver_cat(spark: SparkSession, sf_dir: str, trigrams: bool = False):
+    import hashlib
+
+    from .plans.index_build import build_index, build_trigram_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/driver_wand_index_v3_{tag}"
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cat = build_index(spark, t, idx_dir, n_buckets=8)
+    if trigrams:
+        build_trigram_index(cat, t, n_buckets=8)
+    return cat
+
+
+def _doc_long(col: str = "doc_id"):
+    conv = F.regexp_extract(col, r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract(col, r":(\d+)$", 1).cast("long")
+    return (conv * 8 + turn).alias("doc_id_long")
+
+
+@register("more_like_this_from_index", ORACLE_MLT)
+def q_more_like_this_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir)
+    src = f"conv_{MLT_SOURCE_DOC // 8:08d}:{MLT_SOURCE_DOC % 8}"
+    out = retrieval_plus.more_like_this_from_index(
+        cat, src, n_terms=MLT_N_TERMS, k=20
+    )
+    return out.select(
+        _doc_long().alias("doc_id"), F.col("bm25"), F.col("rank")
+    )
+
+
+@register("prf_topk_from_index", ORACLE_PRF)
+def q_prf_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [("q1", AND_QUERY_TEXT)], "query_id string, text string"
+    )
+    out = retrieval_plus.prf_topk_from_index(
+        cat, qdf, fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS, k=20
+    )
+    return out.select(
+        _doc_long().alias("doc_id"), F.col("bm25"), F.col("covered"), F.col("rank")
+    )
+
+
+@register("fuzzy_topk_from_index", ORACLE_FUZZY)
+def q_fuzzy_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir)
+    queries = spark.createDataFrame(FUZZY_QUERIES, "query_id string, text string")
+    out = retrieval_plus.fuzzy_topk_from_index(cat, queries, k=1000)
+    ranked = out.select(
+        "query_id", _doc_long().alias("doc_id"), _r("bm25").alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@register("suggest_terms_from_index", ORACLE_SUGGEST)
+def q_suggest_terms_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir)
+    prefixes = spark.createDataFrame(
+        SUGGEST_PREFIXES, "query_id string, text string"
+    )
+    return retrieval_plus.suggest_terms_from_index(cat, prefixes, n=5)
+
+
+@register("significant_terms_from_index", ORACLE_SIG_TERMS)
+def q_significant_terms_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir)
+    out = retrieval_plus.significant_terms_from_index(
+        cat, _queries_df(spark), fg_docs=20, n_terms=15
+    )
+    return out.select(
+        "term", "fg_df", "bg_df", _r("score").alias("score"), "rank"
+    )
+
+
+@register("substring_search_from_index", ORACLE_SUBSTRING)
+def q_substring_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir, trigrams=True)
+    pats = spark.createDataFrame(
+        SUBSTRING_PATTERNS, "query_id string, text string"
+    )
+    out = retrieval_plus.substring_search_from_index(cat, pats)
+    return out.select("query_id", _doc_long().alias("doc_id"))

@@ -733,3 +733,60 @@ def build_index(
 
     run_stage("metrics", stage_metrics)
     return cat
+
+
+def build_trigram_index(
+    cat: IndexCatalog,
+    transcripts: DataFrame,
+    n_buckets: int = 16,
+    resume: bool = True,
+) -> IndexCatalog:
+    """Optional add-on build stage: the substring-search index
+    (operators.retrieval_plus.substring_search_from_index).
+
+    Writes two tables into the catalog:
+      trigrams (trigram, doc_int, bucket) partitioned by bucket — distinct
+        character 3-grams of the lowercased text; bucket =
+        pmod(xxhash64(trigram), n_buckets) so a query's pattern trigrams
+        prune the scan to their partitions;
+      doc_text (doc_int, text) — the lowercased stored field for exact
+        ``instr`` verification of candidates (pg_trgm's heap fetch).
+
+    Scale shape: one tokenless projection + explode (no Python), one
+    dynamic-partition write; ~(avg_chars-2) rows per doc before
+    array_distinct. Resumable like the core stages via the manifest."""
+    if resume and cat.stage_complete("trigrams"):
+        return cat
+    spark = cat.spark
+    t0 = time.time()
+    docs = with_doc_identity(transcripts).select("doc_id", "text")
+    meta = cat.doc_meta().select("doc_id", "doc_int")
+    lowered = docs.join(meta, "doc_id").select(
+        "doc_int", F.lower(F.col("text")).alias("text")
+    )
+    cat.write(lowered, "doc_text")
+    tri = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substring(text, i, 3))"
+        )
+    )
+    files_per_bucket = max(
+        1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
+    )
+    trigrams = (
+        cat.read("doc_text")
+        .select("doc_int", F.explode(tri).alias("trigram"))
+        .withColumn("bucket", term_bucket("trigram", n_buckets))
+        .repartition(
+            n_buckets * files_per_bucket,
+            "bucket",
+            F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
+        )
+    )
+    out = cat.write(trigrams, "trigrams", partition_by=["bucket"])
+    n = cat.read("trigrams").count()
+    cat.record_stage(
+        "trigrams", out, n, time.time() - t0, {"trigram_buckets": n_buckets}
+    )
+    return cat

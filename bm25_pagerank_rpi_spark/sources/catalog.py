@@ -187,3 +187,8 @@ def term_bucket(col: F.Column | str, n_buckets: int) -> F.Column:
     deterministic across Spark sessions/versions for string input."""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+# the trigram index (plans.index_build.build_trigram_index) buckets on the
+# same stable hash; a separate alias keeps call sites self-documenting
+trigram_bucket = term_bucket

@@ -581,3 +581,141 @@ def test_rrf_fusion_closed_form(spark):
     assert got[10].rank == 2 and got[40].rank == 3 and got[30].rank == 4
     order = sorted(got.values(), key=lambda r: r.rank)
     assert [r.doc_id for r in order] == [20, 10, 40, 30]
+
+
+# ---------------------------------------------------------------------------
+# Index-backed twins (VERDICT r3 #3): each *_from_index variant must be
+# value-identical to its from-raw sibling on the same corpus.
+# ---------------------------------------------------------------------------
+
+
+def _twin_fixture(spark, corpus, tmp_path):
+    from bm25_pagerank_rpi_spark.plans.index_build import (
+        build_index,
+        build_trigram_index,
+    )
+    from tests.test_index_build import transcripts_df
+
+    t = transcripts_df(spark, corpus)
+    cat = build_index(
+        spark, t, str(tmp_path / "idx"), n_buckets=8, block_size=16, range_rows=32
+    )
+    build_trigram_index(cat, t, n_buckets=8)
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id string, text string"
+    )
+    return cat, docs
+
+
+def _toks(corpus):
+    return sorted({t for text in corpus.values() for t in text.split()})
+
+
+def test_mlt_from_index_equals_raw(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    src = next(d for d, t in sorted(corpus.items()) if len(t.split()) > 5)
+    raw = rp.more_like_this(docs, src, n_terms=6, k=10).collect()
+    idx = rp.more_like_this_from_index(cat, src, n_terms=6, k=10).collect()
+    assert [(r.doc_id, r.bm25, r.rank) for r in sorted(raw, key=lambda r: r.rank)] \
+        == [(r.doc_id, r.bm25, r.rank) for r in sorted(idx, key=lambda r: r.rank)]
+
+
+def test_prf_from_index_equals_raw(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    toks = _toks(corpus)
+    qdf = spark.createDataFrame(
+        [("q1", f"{toks[0]} {toks[3]}"), ("q2", f"{toks[5]} {toks[5]} {toks[9]}")],
+        "query_id string, text string",
+    )
+    raw = rp.prf_topk(docs, qdf, fb_docs=5, fb_terms=3, k=10).collect()
+    idx = rp.prf_topk_from_index(cat, qdf, fb_docs=5, fb_terms=3, k=10).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert [(r.query_id, r.doc_id, r.bm25, r.covered, r.rank)
+            for r in sorted(raw, key=key)] == \
+           [(r.query_id, r.doc_id, r.bm25, r.covered, r.rank)
+            for r in sorted(idx, key=key)]
+
+
+def test_fuzzy_from_index_equals_raw(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    toks = [t for t in _toks(corpus) if len(t) >= 4]
+    typo = toks[0][:-1] + ("x" if toks[0][-1] != "x" else "y")
+    qdf = spark.createDataFrame(
+        [("q1", f"{typo} {toks[3]}"), ("q2", toks[5][1:])],
+        "query_id string, text string",
+    )
+    raw = rp.fuzzy_topk(docs, qdf, k=10).collect()
+    idx = rp.fuzzy_topk_from_index(cat, qdf, k=10).collect()
+    by_q_raw, by_q_idx = {}, {}
+    for r in raw:
+        by_q_raw.setdefault(r.query_id, []).append(r)
+    for r in idx:
+        by_q_idx.setdefault(r.query_id, []).append(r)
+    assert set(by_q_raw) == set(by_q_idx)
+    for q in by_q_raw:
+        a = sorted(by_q_raw[q], key=lambda r: r.rank)
+        b = sorted(by_q_idx[q], key=lambda r: r.rank)
+        assert [r.doc_id for r in a] == [r.doc_id for r in b]
+        for x, y in zip(a, b):
+            assert abs(x.bm25 - y.bm25) < 1e-9
+
+
+def test_suggest_from_index_equals_raw(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    toks = _toks(corpus)
+    prefixes = spark.createDataFrame(
+        [("p1", toks[0][:1]), ("p2", toks[4][:2])], "query_id string, text string"
+    )
+    raw = {tuple(r) for r in rp.suggest_terms(docs, prefixes, n=5).collect()}
+    idx = {tuple(r) for r in rp.suggest_terms_from_index(cat, prefixes, n=5).collect()}
+    assert raw == idx and raw
+
+
+def test_sig_terms_from_index_equals_raw(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    toks = _toks(corpus)
+    qdf = spark.createDataFrame(
+        [("q1", f"{toks[2]} {toks[6]}")], "query_id string, text string"
+    )
+    raw = rp.significant_terms(docs, qdf, fg_docs=8, n_terms=10).collect()
+    idx = rp.significant_terms_from_index(cat, qdf, fg_docs=8, n_terms=10).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert [(r.term, r.fg_df, r.bg_df, round(r.score, 6), r.rank)
+            for r in sorted(raw, key=key)] == \
+           [(r.term, r.fg_df, r.bg_df, round(r.score, 6), r.rank)
+            for r in sorted(idx, key=key)]
+
+
+def test_substring_from_index_matches_raw_and_python(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    toks = [t for t in _toks(corpus) if len(t) >= 5]
+    pats = [("s1", toks[0][1:5]), ("s2", toks[3][:4].upper()), ("s3", "zq")]
+    pdf = spark.createDataFrame(pats, "query_id string, text string")
+    raw = {(r.query_id, r.doc_id) for r in rp.substring_search(docs, pdf).collect()}
+    idx = {
+        (r.query_id, r.doc_id)
+        for r in rp.substring_search_from_index(cat, pdf).collect()
+    }
+    expect = {
+        (qid, d)
+        for qid, p in pats
+        for d, t in corpus.items()
+        if p.lower() in t.lower()
+    }
+    assert raw == expect
+    assert idx == expect
+
+
+def test_substring_from_index_requires_stage(spark, corpus, tmp_path):
+    import pytest as _pytest
+
+    from bm25_pagerank_rpi_spark.plans.index_build import build_index
+    from tests.test_index_build import transcripts_df
+
+    cat = build_index(
+        spark, transcripts_df(spark, corpus), str(tmp_path / "idx2"),
+        n_buckets=8, block_size=16, range_rows=32,
+    )
+    pdf = spark.createDataFrame([("s1", "abcd")], "query_id string, text string")
+    with _pytest.raises(ValueError, match="trigram"):
+        rp.substring_search_from_index(cat, pdf)
