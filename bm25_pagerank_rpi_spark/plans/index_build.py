@@ -425,6 +425,8 @@ def build_index(
     resume: bool = True,
     with_positions: bool = False,
     tail_df_threshold: int | None = None,
+    term_keys: str = "auto",
+    hashed_vocab_threshold: int = 10_000,
 ) -> IndexCatalog:
     """Run (or resume) the full build. Returns the catalog over ``out_dir``.
 
@@ -444,7 +446,15 @@ def build_index(
     terms keep the order-preserving range salt. The WAND path scores
     tail blocks in a dedicated per-query shard and sums partial scores,
     with tail-aware slack keeping ranged-shard pruning rank-safe
-    (operators/wand.py)."""
+    (operators/wand.py).
+
+    ``term_keys`` picks the key plan for the postings TF aggregation:
+    ``"string"`` (groupBy raw term strings), ``"hashed"`` (groupBy
+    xxhash64(term) int64 keys, dictionary-restore strings after — the
+    scale plan), or ``"auto"`` (default: sample-estimate the vocabulary
+    and use hashed above ``hashed_vocab_threshold`` distinct terms).
+    Output postings are identical under either plan (parity-tested); a
+    detected 64-bit hash collision fails over to the string plan."""
     # degenerate-input guard: a source read as a handful of partitions
     # (one small file, a broadcast-built frame) would serialize the
     # tokenize/explode map chains onto those few cores
@@ -531,32 +541,13 @@ def build_index(
                 "doc_int", "doc_length",
                 F.posexplode(tokens_col("text")).alias("pos", "term"),
             )
-            tf = toks.groupBy("term", "doc_int").agg(
+            aggs = [
                 F.count(F.lit(1)).cast("int").alias("tf"),
                 F.max("doc_length").alias("doc_length"),
                 F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
+            ]
             extra = ["positions"]
-            # co-locate buckets for the write, but do NOT cap write
-            # parallelism at n_buckets tasks: sub-split each bucket by a
-            # doc_int stripe so the write uses ~cluster parallelism while
-            # file count stays bounded at n_buckets x files_per_bucket
-            files_per_bucket = max(
-                1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
-            )
-            post = (
-                tf.select(
-                    "term", "doc_int", "tf", "doc_length", *extra,
-                    term_bucket("term", n_buckets).alias("bucket"),
-                )
-                .repartition(
-                    n_buckets * files_per_bucket,
-                    "bucket",
-                    F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
-                )
-            )
         else:
-            # same groupBy plan as the positional branch, minus positions.
             # A fused single-shuffle variant (TF agg riding the write-layout
             # exchange via sort + streaming Arrow run-length agg,
             # _make_tf_agg_arrow_fn) was built and measured 3-4x SLOWER at
@@ -569,28 +560,98 @@ def build_index(
             toks = joined.select(
                 "doc_int", "doc_length", F.explode(tokens_col("text")).alias("term")
             )
-            tf = toks.groupBy("term", "doc_int").agg(
+            aggs = [
                 F.count(F.lit(1)).cast("int").alias("tf"),
                 F.max("doc_length").alias("doc_length"),  # functional dep of doc_int
-            )
+            ]
             extra = []
-            files_per_bucket = max(
-                1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
+
+        # key-plan choice for the corpus-scale TF aggregation. With a
+        # realistic (zipf, ~200k-term) vocabulary this hash agg holds tens
+        # of millions of near-unique groups and is DRAM-random-access
+        # bound; string keys make every probe chase a pointer and every
+        # shuffle row carry the term bytes twice. The hashed plan keys the
+        # agg on xxhash64(term) (8-byte fixed-width keys, term strings
+        # dropped before the shuffle) and restores strings afterwards via
+        # a vocab-sized dictionary join — measured ~2x faster under DRAM
+        # pressure, ~15% slower on cache-resident (tiny) vocabularies, and
+        # strictly fewer shuffle bytes on a real cluster. "auto" samples
+        # ~200k docs and picks hashed above ``hashed_vocab_threshold``.
+        plan = term_keys
+        est_vocab = None
+        if plan == "auto":
+            n_docs = int(cat.read_manifest()["stages"]["doc_meta"]["rows"] or 0)
+            frac = min(1.0, 200_000 / max(n_docs, 1))
+            sample = joined if frac >= 1.0 else joined.sample(fraction=frac, seed=7)
+            est_vocab = int(
+                sample.select(F.explode(tokens_col("text")).alias("term"))
+                .agg(F.approx_count_distinct("term").alias("v"))
+                .first()["v"]
             )
-            post = (
-                tf.select(
-                    "term", "doc_int", "tf", "doc_length", *extra,
-                    term_bucket("term", n_buckets).alias("bucket"),
+            plan = "hashed" if est_vocab > hashed_vocab_threshold else "string"
+
+        vocab = None
+        if plan == "hashed":
+            keyed = toks.withColumn("tkey", F.xxhash64("term"))
+            tf_h = keyed.groupBy("tkey", "doc_int").agg(*aggs)
+            # the dictionary pass re-scans the corpus, but its map-side
+            # partial agg collapses each partition to <= |vocab| rows, so
+            # both its hash map (vocab-sized, cache-resident) and its
+            # shuffle (~vocab x partitions rows) are trivial next to the
+            # postings agg it un-strings
+            vocab = keyed.select("tkey", "term").distinct().persist()
+            vcnt = vocab.count()
+            kcnt = vocab.agg(F.countDistinct("tkey").alias("k")).first()["k"]
+            if kcnt != vcnt:
+                # 64-bit collision (p ~ |vocab|^2 / 2^65; real only near
+                # 10^9-term vocabularies): merged TF rows would be silently
+                # wrong, so fail over to the exact string-keyed plan
+                vocab.unpersist()
+                vocab = None
+                plan = "string-collision-fallback"
+            else:
+                # restore term strings; bucket comes straight from tkey
+                # (term_bucket IS pmod(xxhash64(term), n)) so the corpus
+                # never re-hashes 10^8 strings. Broadcast the dictionary
+                # while it fits (5M terms ~ a few hundred MB); beyond that
+                # a shuffle join on the 8-byte key is still the cheap side.
+                dim = F.broadcast(vocab) if vcnt <= 5_000_000 else vocab
+                tf = (
+                    tf_h.withColumn(
+                        "bucket",
+                        F.pmod(F.col("tkey"), F.lit(n_buckets)).cast("int"),
+                    )
+                    .join(dim, "tkey")
+                    .drop("tkey")
                 )
-                .repartition(
-                    n_buckets * files_per_bucket,
-                    "bucket",
-                    F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
-                )
+        if plan != "hashed":
+            tf = toks.groupBy("term", "doc_int").agg(*aggs).withColumn(
+                "bucket", term_bucket("term", n_buckets)
             )
+
+        # co-locate buckets for the write, but do NOT cap write
+        # parallelism at n_buckets tasks: sub-split each bucket by a
+        # doc_int stripe so the write uses ~cluster parallelism while
+        # file count stays bounded at n_buckets x files_per_bucket
+        files_per_bucket = max(
+            1, (spark.sparkContext.defaultParallelism * 2) // n_buckets
+        )
+        post = (
+            tf.select("term", "doc_int", "tf", "doc_length", *extra, "bucket")
+            .repartition(
+                n_buckets * files_per_bucket,
+                "bucket",
+                F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
+            )
+        )
         out = cat.write(post, "postings", partition_by=["bucket"])
+        if vocab is not None:
+            vocab.unpersist()
         n = cat.postings().count()
-        return out, n, {"postings": n}
+        metrics = {"postings": n, "term_key_plan": plan}
+        if est_vocab is not None:
+            metrics["est_vocab"] = est_vocab
+        return out, n, metrics
 
     run_stage("postings", stage_postings)
 

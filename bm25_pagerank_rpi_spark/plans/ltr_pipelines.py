@@ -76,6 +76,7 @@ def train(
     model: str = "lr",
     test_frac: float = 0.0,
     seed: int = 42,
+    train_kw: dict | None = None,
 ) -> dict:
     """E3: examples -> trained model -> confusion + accuracy.
 
@@ -113,7 +114,9 @@ def train(
     if model == "residual_mlp":
         from ..operators.residual_mlp import fit_residual_reranker
 
-        fitted, _hist = fit_residual_reranker(train_df, fcols, seed=seed)
+        fitted, _hist = fit_residual_reranker(
+            train_df, fcols, seed=seed, **(train_kw or {})
+        )
         if model_dir:
             fitted.save(f"{model_dir}/residual_mlp.npz")
 
