@@ -580,8 +580,12 @@ def build_index(
         plan = term_keys
         est_vocab = None
         if plan == "auto":
+            # decision-bound sampling: we only need a LOWER bound on the
+            # vocabulary vs the threshold, not a good estimate — 30k docs
+            # of a realistic corpus already surface far more than 10k
+            # distinct terms, so the probe stays ~1% of corpus scan cost
             n_docs = int(cat.read_manifest()["stages"]["doc_meta"]["rows"] or 0)
-            frac = min(1.0, 200_000 / max(n_docs, 1))
+            frac = min(1.0, 30_000 / max(n_docs, 1))
             sample = joined if frac >= 1.0 else joined.sample(fraction=frac, seed=7)
             est_vocab = int(
                 sample.select(F.explode(tokens_col("text")).alias("term"))
@@ -600,8 +604,14 @@ def build_index(
             # shuffle (~vocab x partitions rows) are trivial next to the
             # postings agg it un-strings
             vocab = keyed.select("tkey", "term").distinct().persist()
-            vcnt = vocab.count()
-            kcnt = vocab.agg(F.countDistinct("tkey").alias("k")).first()["k"]
+            # one job: materialize the cache AND get size + collision
+            # evidence together (count < countDistinct(tkey) iff two
+            # terms share a 64-bit hash)
+            vstats = vocab.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("tkey").alias("k"),
+            ).first()
+            vcnt, kcnt = vstats["n"], vstats["k"]
             if kcnt != vcnt:
                 # 64-bit collision (p ~ |vocab|^2 / 2^65; real only near
                 # 10^9-term vocabularies): merged TF rows would be silently
@@ -644,10 +654,9 @@ def build_index(
                 F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
             )
         )
-        out = cat.write(post, "postings", partition_by=["bucket"])
+        out, n = cat.write_counted(post, "postings", partition_by=["bucket"])
         if vocab is not None:
             vocab.unpersist()
-        n = cat.postings().count()
         metrics = {"postings": n, "term_key_plan": plan}
         if est_vocab is not None:
             metrics["est_vocab"] = est_vocab
@@ -703,13 +712,12 @@ def build_index(
         prev_batch = spark.conf.get(batch_key, None)
         spark.conf.set(batch_key, str(1 << 19))
         try:
-            out = cat.write(blocks, "blocks", partition_by=["bucket"])
+            out, n = cat.write_counted(blocks, "blocks", partition_by=["bucket"])
         finally:
             if prev_batch is None:
                 spark.conf.unset(batch_key)
             else:
                 spark.conf.set(batch_key, prev_batch)
-        n = cat.blocks().count()
         return out, n, {"blocks": n}
 
     run_stage("blocks", stage_blocks)
@@ -742,8 +750,7 @@ def build_index(
                 term_bucket("term", n_buckets).alias("bucket"),
             )
         )
-        out = cat.write(terms, "terms")
-        n = cat.terms().count()
+        out, n = cat.write_counted(terms, "terms")
         return out, n, {"terms": n}
 
     run_stage("terms", stage_terms)
@@ -845,8 +852,7 @@ def build_trigram_index(
             F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
         )
     )
-    out = cat.write(trigrams, "trigrams", partition_by=["bucket"])
-    n = cat.read("trigrams").count()
+    out, n = cat.write_counted(trigrams, "trigrams", partition_by=["bucket"])
     cat.record_stage(
         "trigrams", out, n, time.time() - t0, {"trigram_buckets": n_buckets}
     )

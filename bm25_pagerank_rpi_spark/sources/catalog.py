@@ -82,6 +82,23 @@ class IndexCatalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def write_counted(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> tuple[str, int]:
+        """Write + row count in ONE pass: an Observation rides the write
+        action instead of a second scan of the output parquet. The
+        re-read `.count()` it replaces was pure fixed cost per build
+        stage (for the blocks table it re-read the binary block columns
+        just to count rows) — measured as a leading term in the
+        T(k) = F + W/k fixed-cost fit of stage scaling."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        path = self.write(
+            df.observe(obs, F.count(F.lit(1)).alias("n")), table, partition_by
+        )
+        return path, int(obs.get["n"])
+
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
         p = self.path(table)
         w = df.write.mode("overwrite")
