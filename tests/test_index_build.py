@@ -403,3 +403,13 @@ def test_auto_term_keys_switches_on_vocab(spark, corpus, tmp_path):
         {tuple(r[c] for c in cols) for r in lo.postings().collect()}
         == {tuple(r[c] for c in cols) for r in hi.postings().collect()}
     )
+
+
+def test_write_counted_matches_rescan(built):
+    """write_counted's Observation count (which rides the write job
+    instead of a second scan of the output parquet) must equal a direct
+    re-count of every table it records in the manifest."""
+    m = built.read_manifest()["stages"]
+    assert m["postings"]["rows"] == built.postings().count()
+    assert m["blocks"]["rows"] == built.blocks().count()
+    assert m["terms"]["rows"] == built.terms().count()

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 
@@ -37,9 +38,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    t_sweep = time.time()
     for name, fn in e.queries().items():
         if only and name not in only:
             continue
+        t_pair = time.time()
         sql = e.oracle_sql().get(name)
         try:
             got_df = fn(spark, sf_dir)
@@ -78,7 +81,8 @@ def main():
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}")
             failures += 1
         else:
-            print(f"OK   {name}: {len(got)} rows")
+            print(f"OK   {name}: {len(got)} rows ({time.time() - t_pair:.1f}s)")
+    print(f"sweep total: {time.time() - t_sweep:.1f}s, failures: {failures}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
