@@ -356,6 +356,99 @@ def _make_tf_agg_arrow_fn():
     return fn
 
 
+POSTINGS_SCHEMA = "term string, doc_int long, tf int, doc_length int"
+
+# The exact Unicode White_Space table — what Java's (?U)\s (tokens_col)
+# and Go's unicode.IsSpace match. Used by the fused kernel's slow path.
+_WHITE_SPACE_RE = (
+    "[\t-\r \x85\xa0  -     　]+"
+)
+
+
+def _make_tokenize_tf_arrow_fn():
+    """Fused tokenize+TF kernel for ``mapInArrow``: raw doc rows
+    (doc_int, doc_length, text) in, AGGREGATED posting rows
+    (term, doc_int, tf, doc_length) out. Token occurrences never
+    materialize as Spark rows, and the corpus-wide (term, doc) hash
+    aggregate disappears entirely.
+
+    Why this can win where ``_make_tf_agg_arrow_fn`` measured 3-4x worse:
+    that counterfactual round-tripped every TOKEN through Arrow (~140M
+    string rows in both directions) just to fuse the agg into the write
+    shuffle. Here the Arrow transfer is |docs| rows in and |postings|
+    (already-aggregated) rows out, and the grouping exploits the fact
+    that a document's tokens are CONTIGUOUS: per-batch dictionary-encode
+    (a C-speed hash over at most the batch's own vocabulary, which stays
+    cache-resident) plus one ``np.unique`` over a combined
+    ``(row, code)`` int64 key replaces Catalyst's global hash aggregate
+    over tens of millions of near-unique (term, doc) groups — the stage
+    that measured 0.44-0.56 scaling efficiency at 2->8 cores precisely
+    because that global table misses DRAM on every probe.
+
+    Tokenizer parity: ``pc.utf8_split_whitespace`` matches the Catalyst
+    tokenizer (``tokens_col``) on the whole Unicode White_Space table
+    EXCEPT ``\\x1c``-``\\x1f`` (file/group/record/unit separators —
+    Arrow-whitespace but NOT White_Space). A batch containing any such
+    byte re-splits through the explicit White_Space regex instead.
+    Pinned by tests/test_index_build.py::test_fused_kernel_parity."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ws_re = re.compile(_WHITE_SPACE_RE)
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            text = pc.fill_null(batch.column("text"), "")
+            if pc.any(
+                pc.match_substring_regex(text, "[\\x1c-\\x1f]")
+            ).as_py():
+                toks = pa.array(
+                    [
+                        [t for t in ws_re.split(s) if t]
+                        for s in text.to_pylist()
+                    ],
+                    type=pa.list_(pa.string()),
+                )
+            else:
+                toks = pc.utf8_split_whitespace(text)
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks)
+            # utf8_split_whitespace emits "" for leading/trailing runs;
+            # tokens_col filters empties — do the same at the flat level
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parents = parents.filter(keep)
+            if len(flat) == 0:
+                continue
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            k = len(denc.dictionary)
+            # one sorted pass over the batch's tokens; rows and codes are
+            # both < 2^31 so row*k+code cannot overflow int64
+            uniq, counts = np.unique(par * k + codes, return_counts=True)
+            row_idx = pa.array(uniq // k, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    denc.dictionary.take(
+                        pa.array(uniq % k, type=pa.int64())
+                    ),
+                    pc.take(batch.column("doc_int"), row_idx),
+                    pa.array(counts.astype(np.int32)),
+                    pc.take(batch.column("doc_length"), row_idx),
+                ],
+                names=["term", "doc_int", "tf", "doc_length"],
+            )
+
+    return fn
+
+
 def with_range_routing(
     post: DataFrame, range_rows: int, tail_df_threshold: int | None
 ) -> DataFrame:
@@ -448,13 +541,16 @@ def build_index(
     with tail-aware slack keeping ranged-shard pruning rank-safe
     (operators/wand.py).
 
-    ``term_keys`` picks the key plan for the postings TF aggregation:
-    ``"string"`` (groupBy raw term strings), ``"hashed"`` (groupBy
-    xxhash64(term) int64 keys, dictionary-restore strings after — the
-    scale plan), or ``"auto"`` (default: sample-estimate the vocabulary
-    and use hashed above ``hashed_vocab_threshold`` distinct terms).
-    Output postings are identical under either plan (parity-tested); a
-    detected 64-bit hash collision fails over to the string plan."""
+    ``term_keys`` picks the plan for the postings TF aggregation:
+    ``"string"`` (explode + groupBy raw term strings), ``"hashed"``
+    (explode + groupBy xxhash64(term) int64 keys, dictionary-restore
+    strings after), ``"fused"`` (mapInArrow tokenize+segmented-count
+    kernel — no explode, no corpus-wide hash aggregate; falls back to
+    hashed when ``with_positions``), or ``"auto"`` (default:
+    sample-estimate the vocabulary and pick the scale plan above
+    ``hashed_vocab_threshold`` distinct terms). Output postings are
+    identical under every plan (parity-tested); a detected 64-bit hash
+    collision fails the hashed plan over to the string plan."""
     # degenerate-input guard: a source read as a handful of partitions
     # (one small file, a broadcast-built frame) would serialize the
     # tokenize/explode map chains onto those few cores
@@ -579,6 +675,19 @@ def build_index(
         # ~200k docs and picks hashed above ``hashed_vocab_threshold``.
         plan = term_keys
         est_vocab = None
+        if plan == "fused" and with_positions:
+            # positions require the posexplode path; hashed keys still
+            # take the string weight out of the corpus-scale agg
+            plan = "hashed"
+        if plan == "auto" and not with_positions:
+            # fused is the measured default for the positions-less build:
+            # 23.6s vs string 60.4s / hashed 80.7s min-of-rounds at 8
+            # cores on the zipf corpus (tools/ab_postings.py 2026-08-19),
+            # and — unlike both agg plans — stable across 6x memcpy
+            # window swings (23.6s @ 5586 MB/s vs 24.9s @ 909 MB/s): the
+            # per-batch dictionary hash stays cache-resident, so the
+            # stage is no longer DRAM-random-access bound
+            plan = "fused"
         if plan == "auto":
             # decision-bound sampling: we only need a LOWER bound on the
             # vocabulary vs the threshold, not a good estimate — 30k docs
@@ -595,6 +704,15 @@ def build_index(
             plan = "hashed" if est_vocab > hashed_vocab_threshold else "string"
 
         vocab = None
+        if plan == "fused":
+            # fused tokenize+TF kernel (_make_tokenize_tf_arrow_fn): no
+            # explode, no corpus-wide hash aggregate — per-batch segmented
+            # counting in Arrow/numpy, then only the write-layout exchange
+            tf = (
+                joined.select("doc_int", "doc_length", "text")
+                .mapInArrow(_make_tokenize_tf_arrow_fn(), POSTINGS_SCHEMA)
+                .withColumn("bucket", term_bucket("term", n_buckets))
+            )
         if plan == "hashed":
             keyed = toks.withColumn("tkey", F.xxhash64("term"))
             tf_h = keyed.groupBy("tkey", "doc_int").agg(*aggs)
@@ -634,7 +752,7 @@ def build_index(
                     .join(dim, "tkey")
                     .drop("tkey")
                 )
-        if plan != "hashed":
+        if plan not in ("hashed", "fused"):
             tf = toks.groupBy("term", "doc_int").agg(*aggs).withColumn(
                 "bucket", term_bucket("term", n_buckets)
             )

@@ -382,18 +382,25 @@ def test_hashed_term_keys_parity_with_positions(spark, corpus, tmp_path):
 
 
 def test_auto_term_keys_switches_on_vocab(spark, corpus, tmp_path):
-    """auto = sample-estimated vocabulary vs threshold: a tiny corpus
-    stays string-keyed at the default threshold and flips to hashed when
-    the threshold is forced below its vocabulary."""
+    """auto: positions-less builds take the fused kernel outright (the
+    measured-fastest, window-stable plan); WITH positions the sampled
+    vocabulary picks string below the threshold and hashed above it."""
     lo = build_index(
         spark, transcripts_df(spark, corpus), str(tmp_path / "lo"), n_buckets=4
     )
     m = lo.read_manifest()["stages"]["postings"]["metrics"]
-    assert m["term_key_plan"] == "string" and m["est_vocab"] > 0
+    assert m["term_key_plan"] == "fused"
+
+    lo_p = build_index(
+        spark, transcripts_df(spark, corpus), str(tmp_path / "lo_p"),
+        n_buckets=4, with_positions=True,
+    )
+    m_p = lo_p.read_manifest()["stages"]["postings"]["metrics"]
+    assert m_p["term_key_plan"] == "string" and m_p["est_vocab"] > 0
 
     hi = build_index(
         spark, transcripts_df(spark, corpus), str(tmp_path / "hi"),
-        n_buckets=4, hashed_vocab_threshold=1,
+        n_buckets=4, with_positions=True, hashed_vocab_threshold=1,
     )
     m2 = hi.read_manifest()["stages"]["postings"]["metrics"]
     assert m2["term_key_plan"] == "hashed"
@@ -403,6 +410,51 @@ def test_auto_term_keys_switches_on_vocab(spark, corpus, tmp_path):
         {tuple(r[c] for c in cols) for r in lo.postings().collect()}
         == {tuple(r[c] for c in cols) for r in hi.postings().collect()}
     )
+
+
+def test_fused_kernel_parity(spark, corpus, tmp_path):
+    """The fused tokenize+TF mapInArrow plan must produce the identical
+    postings relation (and downstream terms table) as the string-keyed
+    groupBy plan, including on text that exercises the Arrow-vs-Java
+    whitespace divergence (\\x1c-\\x1f stay INSIDE tokens) and unicode
+    whitespace runs."""
+    nasty = dict(corpus)
+    nasty["zz:0"] = "fs\x1cgs stays\x1done token"
+    nasty["zz:1"] = "　ideo ls nbsp  runs\t\tcollapse "
+    nasty["zz:2"] = "   "
+    nasty["zz:3"] = "repeat repeat repeat x"
+
+    def build(dir_, **kw):
+        return build_index(
+            spark, transcripts_df(spark, nasty), str(dir_),
+            n_buckets=4, block_size=16, range_rows=32, **kw,
+        )
+
+    s = build(tmp_path / "s", term_keys="string")
+    f = build(tmp_path / "f", term_keys="fused")
+
+    cols = ("term", "doc_int", "tf", "doc_length", "bucket")
+    want = {tuple(r[c] for c in cols) for r in s.postings().collect()}
+    got = {tuple(r[c] for c in cols) for r in f.postings().collect()}
+    assert got == want and want
+    assert any(t[0] == "fs\x1cgs" for t in got)  # \x1c fallback engaged
+
+    assert f.read_manifest()["stages"]["postings"]["metrics"]["term_key_plan"] == "fused"
+
+    t_s = {r.term: (r.df, round(r.idf, 12)) for r in s.terms().collect()}
+    t_f = {r.term: (r.df, round(r.idf, 12)) for r in f.terms().collect()}
+    assert t_s == t_f
+
+
+def test_fused_with_positions_falls_back(spark, corpus, tmp_path):
+    """positions require the posexplode path: term_keys='fused' +
+    with_positions must fall back to the hashed plan, not lose positions."""
+    cat = build_index(
+        spark, transcripts_df(spark, corpus), str(tmp_path / "fp"),
+        n_buckets=4, with_positions=True, term_keys="fused",
+    )
+    assert cat.read_manifest()["stages"]["postings"]["metrics"]["term_key_plan"] == "hashed"
+    assert "positions" in cat.postings().columns
 
 
 def test_write_counted_matches_rescan(built):
