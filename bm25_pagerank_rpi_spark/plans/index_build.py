@@ -357,6 +357,7 @@ def _make_tf_agg_arrow_fn():
 
 
 POSTINGS_SCHEMA = "term string, doc_int long, tf int, doc_length int"
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", positions array<int>"
 
 # The exact Unicode White_Space table — what Java's (?U)\s (tokens_col)
 # and Go's unicode.IsSpace match. Used by the fused kernel's slow path.
@@ -365,12 +366,23 @@ _WHITE_SPACE_RE = (
 )
 
 
-def _make_tokenize_tf_arrow_fn():
+def _make_tokenize_tf_arrow_fn(with_positions: bool = False):
     """Fused tokenize+TF kernel for ``mapInArrow``: raw doc rows
     (doc_int, doc_length, text) in, AGGREGATED posting rows
-    (term, doc_int, tf, doc_length) out. Token occurrences never
-    materialize as Spark rows, and the corpus-wide (term, doc) hash
-    aggregate disappears entirely.
+    (term, doc_int, tf, doc_length[, positions]) out. Token occurrences
+    never materialize as Spark rows, and the corpus-wide (term, doc)
+    hash aggregate disappears entirely.
+
+    ``with_positions`` additionally emits the sorted in-document token
+    positions per posting (the reference posting contract,
+    /root/reference/internal/ranking/types.go:92-96) as an
+    ``array<int>`` — replacing the posexplode + collect_list +
+    sort_array plan, whose per-token rows and per-group list buffers
+    are strictly heavier than the TF-only aggregation this kernel
+    already beats. Positions index into the empties-FILTERED token
+    array (identical to ``posexplode(tokens_col(text))``), and arrive
+    pre-sorted because the stable argsort preserves in-document token
+    order within each (doc, term) group.
 
     Why this can win where ``_make_tf_agg_arrow_fn`` measured 3-4x worse:
     that counterfactual round-tripped every TOKEN through Arrow (~140M
@@ -430,21 +442,48 @@ def _make_tokenize_tf_arrow_fn():
             )
             par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
             k = len(denc.dictionary)
+            n = len(codes)
             # one sorted pass over the batch's tokens; rows and codes are
-            # both < 2^31 so row*k+code cannot overflow int64
-            uniq, counts = np.unique(par * k + codes, return_counts=True)
+            # both < 2^31 so row*k+code cannot overflow int64. kind=stable
+            # keeps each group's elements in token order, which makes the
+            # per-posting positions arrive pre-sorted.
+            key = par * k + codes
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            gchange = np.empty(n, dtype=bool)
+            gchange[0] = True
+            gchange[1:] = skey[1:] != skey[:-1]
+            gstarts = np.flatnonzero(gchange)
+            counts = np.diff(np.append(gstarts, n))
+            uniq = skey[gstarts]
             row_idx = pa.array(uniq // k, type=pa.int64())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    denc.dictionary.take(
-                        pa.array(uniq % k, type=pa.int64())
-                    ),
-                    pc.take(batch.column("doc_int"), row_idx),
-                    pa.array(counts.astype(np.int32)),
-                    pc.take(batch.column("doc_length"), row_idx),
-                ],
-                names=["term", "doc_int", "tf", "doc_length"],
-            )
+            arrays = [
+                denc.dictionary.take(pa.array(uniq % k, type=pa.int64())),
+                pc.take(batch.column("doc_int"), row_idx),
+                pa.array(counts.astype(np.int32)),
+                pc.take(batch.column("doc_length"), row_idx),
+            ]
+            names = ["term", "doc_int", "tf", "doc_length"]
+            if with_positions:
+                # in-document position = token ordinal minus its row
+                # segment's start; par is non-decreasing so segment
+                # starts come from one change-point pass
+                rchange = np.empty(n, dtype=bool)
+                rchange[0] = True
+                rchange[1:] = par[1:] != par[:-1]
+                seg_start = np.maximum.accumulate(
+                    np.where(rchange, np.arange(n, dtype=np.int64), 0)
+                )
+                pos = (np.arange(n, dtype=np.int64) - seg_start)[order]
+                offsets = np.append(gstarts, n).astype(np.int32)
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(pos.astype(np.int32), type=pa.int32()),
+                    )
+                )
+                names.append("positions")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fn
 
@@ -545,9 +584,10 @@ def build_index(
     ``"string"`` (explode + groupBy raw term strings), ``"hashed"``
     (explode + groupBy xxhash64(term) int64 keys, dictionary-restore
     strings after), ``"fused"`` (mapInArrow tokenize+segmented-count
-    kernel — no explode, no corpus-wide hash aggregate; falls back to
-    hashed when ``with_positions``), or ``"auto"`` (default:
-    sample-estimate the vocabulary and pick the scale plan above
+    kernel — no explode, no corpus-wide hash aggregate; with positions
+    it also emits the per-posting position arrays in the same pass), or
+    ``"auto"`` (default: fused for positions-less builds; positions
+    builds sample-estimate the vocabulary and pick hashed above
     ``hashed_vocab_threshold`` distinct terms). Output postings are
     identical under every plan (parity-tested); a detected 64-bit hash
     collision fails the hashed plan over to the string plan."""
@@ -675,10 +715,6 @@ def build_index(
         # ~200k docs and picks hashed above ``hashed_vocab_threshold``.
         plan = term_keys
         est_vocab = None
-        if plan == "fused" and with_positions:
-            # positions require the posexplode path; hashed keys still
-            # take the string weight out of the corpus-scale agg
-            plan = "hashed"
         if plan == "auto" and not with_positions:
             # fused is the measured default for the positions-less build:
             # 23.6s vs string 60.4s / hashed 80.7s min-of-rounds at 8
@@ -707,10 +743,15 @@ def build_index(
         if plan == "fused":
             # fused tokenize+TF kernel (_make_tokenize_tf_arrow_fn): no
             # explode, no corpus-wide hash aggregate — per-batch segmented
-            # counting in Arrow/numpy, then only the write-layout exchange
+            # counting in Arrow/numpy, then only the write-layout exchange.
+            # With positions the same kernel also replaces the
+            # posexplode + collect_list + sort_array plan.
             tf = (
                 joined.select("doc_int", "doc_length", "text")
-                .mapInArrow(_make_tokenize_tf_arrow_fn(), POSTINGS_SCHEMA)
+                .mapInArrow(
+                    _make_tokenize_tf_arrow_fn(with_positions),
+                    POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
+                )
                 .withColumn("bucket", term_bucket("term", n_buckets))
             )
         if plan == "hashed":

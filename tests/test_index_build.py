@@ -446,15 +446,46 @@ def test_fused_kernel_parity(spark, corpus, tmp_path):
     assert t_s == t_f
 
 
-def test_fused_with_positions_falls_back(spark, corpus, tmp_path):
-    """positions require the posexplode path: term_keys='fused' +
-    with_positions must fall back to the hashed plan, not lose positions."""
-    cat = build_index(
-        spark, transcripts_df(spark, corpus), str(tmp_path / "fp"),
-        n_buckets=4, with_positions=True, term_keys="fused",
+def test_fused_kernel_positions_parity(spark, corpus, tmp_path):
+    """term_keys='fused' with positions must emit the identical
+    (term, doc, tf, positions) relation as the posexplode +
+    collect_list + sort_array string plan — positions index into the
+    empties-filtered token array and arrive sorted."""
+    nasty = dict(corpus)
+    nasty["zz:0"] = " lead pad lead\x1dpad lead "  # \x1c-\x1f fallback
+    nasty["zz:1"] = "a b a\tb  a"
+
+    def build(dir_, **kw):
+        return build_index(
+            spark, transcripts_df(spark, nasty), str(dir_),
+            n_buckets=4, block_size=16, range_rows=32,
+            with_positions=True, **kw,
+        )
+
+    s = build(tmp_path / "s", term_keys="string")
+    f = build(tmp_path / "f", term_keys="fused")
+    assert (
+        f.read_manifest()["stages"]["postings"]["metrics"]["term_key_plan"]
+        == "fused"
     )
-    assert cat.read_manifest()["stages"]["postings"]["metrics"]["term_key_plan"] == "hashed"
-    assert "positions" in cat.postings().columns
+
+    def rel(cat):
+        return {
+            (r.term, r.doc_int, r.tf, tuple(r.positions))
+            for r in cat.postings().collect()
+        }
+
+    want, got = rel(s), rel(f)
+    assert got == want and want
+    # spot-pin the tricky docs: \x1d stays inside a token, and repeated
+    # terms carry their full sorted position lists
+    assert ("lead\x1dpad", *_one(got, "lead\x1dpad")[1:]) in got
+    a_rows = {t for t in got if t[0] == "a" and t[3] == (0, 2, 4)}
+    assert a_rows  # "a b a\tb  a" -> a at filtered positions 0, 2, 4
+
+
+def _one(rel, term):
+    return next(t for t in rel if t[0] == term)
 
 
 def test_write_counted_matches_rescan(built):

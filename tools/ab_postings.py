@@ -13,7 +13,9 @@ Variants:
   hashed   explode -> groupBy(xxhash64(term), doc_int) + dict restore
   fused    mapInArrow tokenize+segmented-count (no explode, no global agg)
 
-Usage: python tools/ab_postings.py [cores] [rounds]
+Usage: python tools/ab_postings.py [cores] [rounds] [--positions]
+(--positions times the with_positions stage — posexplode+collect_list
+agg plans vs the fused positions kernel — on a copy of the index dir)
 Requires the scaling work dir (SCALING_WORK_DIR, default
 /dev/shm/bm25_scaling) holding index_c{cores}_z8 + its _transcripts
 parquet from a prior tools/scaling.py run.
@@ -41,8 +43,9 @@ def memcpy_mbps() -> float:
 
 
 def main() -> None:
-    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cores = int(args[0]) if len(args) > 0 else 8
+    rounds = int(args[1]) if len(args) > 1 else 3
 
     os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(4 * cores, 8)}g")
 
@@ -56,6 +59,19 @@ def main() -> None:
     if not os.path.exists(corpus_dir):
         raise SystemExit(f"no prebuilt corpus at {corpus_dir}; run tools/scaling.py first")
 
+    # --positions: time the with_positions postings stage instead (the
+    # posexplode+collect_list plans vs the fused positions kernel). Runs
+    # on a COPY of the index dir so the shared positions-less index the
+    # scaling protocol reuses is never rewritten with a wider schema.
+    positions = "--positions" in sys.argv
+    if positions:
+        import shutil
+
+        idx_pos = f"{idx}_pos_ab"
+        if not os.path.exists(idx_pos):
+            shutil.copytree(idx, idx_pos)
+        idx = idx_pos
+
     spark = get_spark("ab_postings", cores=cores)
     transcripts = spark.read.parquet(corpus_dir)
     cat = IndexCatalog(spark, idx)
@@ -68,7 +84,10 @@ def main() -> None:
         m["stages"].pop("postings", None)
         cat.write_manifest(m)
         probe = memcpy_mbps()
-        build_index(spark, transcripts, idx, resume=True, term_keys=plan)
+        build_index(
+            spark, transcripts, idx, resume=True, term_keys=plan,
+            with_positions=positions,
+        )
         sec = cat.read_manifest()["stages"]["postings"]["seconds"]
         obs[plan].append((sec, probe))
         print(f"  {plan:7s} {sec:8.2f}s  (memcpy {probe:.0f} MB/s)", flush=True)
@@ -91,7 +110,10 @@ def main() -> None:
         }
         for v in variants
     }
-    print(json.dumps({"cores": cores, "rounds": rounds, "postings_ab": summary}))
+    print(json.dumps({
+        "cores": cores, "rounds": rounds, "positions": positions,
+        "postings_ab": summary,
+    }))
     spark.stop()
 
 
