@@ -585,12 +585,14 @@ def build_index(
     (explode + groupBy xxhash64(term) int64 keys, dictionary-restore
     strings after), ``"fused"`` (mapInArrow tokenize+segmented-count
     kernel — no explode, no corpus-wide hash aggregate; with positions
-    it also emits the per-posting position arrays in the same pass), or
-    ``"auto"`` (default: fused for positions-less builds; positions
-    builds sample-estimate the vocabulary and pick hashed above
-    ``hashed_vocab_threshold`` distinct terms). Output postings are
-    identical under every plan (parity-tested); a detected 64-bit hash
-    collision fails the hashed plan over to the string plan."""
+    it also emits the per-posting position arrays in the same pass),
+    ``"auto"`` (default: fused — the measured-fastest plan for both
+    build shapes), or ``"auto-agg"`` (the explode+groupBy family's
+    selector: sample-estimate the vocabulary, hashed above
+    ``hashed_vocab_threshold`` distinct terms — kept for A/Bs and as
+    the documented fallback family). Output postings are identical
+    under every plan (parity-tested); a detected 64-bit hash collision
+    fails the hashed plan over to the string plan."""
     # degenerate-input guard: a source read as a handful of partitions
     # (one small file, a broadcast-built frame) would serialize the
     # tokenize/explode map chains onto those few cores
@@ -715,16 +717,16 @@ def build_index(
         # ~200k docs and picks hashed above ``hashed_vocab_threshold``.
         plan = term_keys
         est_vocab = None
-        if plan == "auto" and not with_positions:
-            # fused is the measured default for the positions-less build:
-            # 23.6s vs string 60.4s / hashed 80.7s min-of-rounds at 8
-            # cores on the zipf corpus (tools/ab_postings.py 2026-08-19),
-            # and — unlike both agg plans — stable across 6x memcpy
-            # window swings (23.6s @ 5586 MB/s vs 24.9s @ 909 MB/s): the
-            # per-batch dictionary hash stays cache-resident, so the
-            # stage is no longer DRAM-random-access bound
-            plan = "fused"
         if plan == "auto":
+            # fused is the measured default for BOTH build shapes
+            # (tools/ab_postings.py, zipf corpus, 8 cores, min-of-rounds):
+            # TF-only 23.6s vs string 60.4s / hashed 80.7s; with
+            # positions 30.6s vs string 159.3s / hashed 124.9s. And —
+            # unlike the agg plans — stable across 6x memcpy window
+            # swings: the per-batch dictionary hash stays cache-resident,
+            # so the stage is no longer DRAM-random-access bound
+            plan = "fused"
+        if plan == "auto-agg":
             # decision-bound sampling: we only need a LOWER bound on the
             # vocabulary vs the threshold, not a good estimate — 30k docs
             # of a realistic corpus already surface far more than 10k

@@ -382,9 +382,10 @@ def test_hashed_term_keys_parity_with_positions(spark, corpus, tmp_path):
 
 
 def test_auto_term_keys_switches_on_vocab(spark, corpus, tmp_path):
-    """auto: positions-less builds take the fused kernel outright (the
-    measured-fastest, window-stable plan); WITH positions the sampled
-    vocabulary picks string below the threshold and hashed above it."""
+    """auto takes the fused kernel for both build shapes (the
+    measured-fastest, window-stable plan); 'auto-agg' keeps the
+    explode+groupBy family's sampled-vocabulary selector: string below
+    the threshold, hashed above it."""
     lo = build_index(
         spark, transcripts_df(spark, corpus), str(tmp_path / "lo"), n_buckets=4
     )
@@ -396,11 +397,19 @@ def test_auto_term_keys_switches_on_vocab(spark, corpus, tmp_path):
         n_buckets=4, with_positions=True,
     )
     m_p = lo_p.read_manifest()["stages"]["postings"]["metrics"]
-    assert m_p["term_key_plan"] == "string" and m_p["est_vocab"] > 0
+    assert m_p["term_key_plan"] == "fused"
+
+    lo_agg = build_index(
+        spark, transcripts_df(spark, corpus), str(tmp_path / "lo_agg"),
+        n_buckets=4, with_positions=True, term_keys="auto-agg",
+    )
+    m_a = lo_agg.read_manifest()["stages"]["postings"]["metrics"]
+    assert m_a["term_key_plan"] == "string" and m_a["est_vocab"] > 0
 
     hi = build_index(
         spark, transcripts_df(spark, corpus), str(tmp_path / "hi"),
-        n_buckets=4, with_positions=True, hashed_vocab_threshold=1,
+        n_buckets=4, with_positions=True, term_keys="auto-agg",
+        hashed_vocab_threshold=1,
     )
     m2 = hi.read_manifest()["stages"]["postings"]["metrics"]
     assert m2["term_key_plan"] == "hashed"
