@@ -505,3 +505,86 @@ def test_write_counted_matches_rescan(built):
     assert m["postings"]["rows"] == built.postings().count()
     assert m["blocks"]["rows"] == built.blocks().count()
     assert m["terms"]["rows"] == built.terms().count()
+
+
+# ---- property test: fused kernel vs a pure-Python reference ---------------
+# No Spark involved: _make_tokenize_tf_arrow_fn is a plain generator over
+# Arrow batches, so hypothesis can hammer it with adversarial unicode text
+# (every White_Space codepoint, the \x1c-\x1f Arrow-divergence bytes,
+# nulls, empty docs) far faster than a cluster round-trip would allow.
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+_WS_CHARS = [
+    chr(c)
+    for c in [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680,
+              *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F,
+              0x3000]
+]
+_SEP_CHARS = ["\x1c", "\x1d", "\x1e", "\x1f"]  # Arrow-vs-Java divergence
+_TOKEN_ALPHA = list("abXY9.,") + _SEP_CHARS + ["é", "中"]
+
+_text_strategy = st.lists(
+    st.one_of(
+        st.sampled_from(_WS_CHARS),
+        st.text(alphabet=_TOKEN_ALPHA, min_size=1, max_size=4),
+    ),
+    max_size=12,
+).map("".join)
+
+
+def _ref_postings(texts):
+    """Pure-Python ground truth: Unicode White_Space-run split (the
+    reference strings.Fields / Java (?U)\\s semantics), TF + sorted
+    positions per (doc, term)."""
+    import re as _re
+
+    from bm25_pagerank_rpi_spark.plans.index_build import _WHITE_SPACE_RE
+
+    ws = _re.compile(_WHITE_SPACE_RE)
+    out = {}
+    for i, t in enumerate(texts):
+        toks = [x for x in ws.split(t or "") if x]
+        for pos, term in enumerate(toks):
+            tf_pos = out.setdefault((i, term), [])
+            tf_pos.append(pos)
+    return {
+        (doc, term, len(p), tuple(p)) for (doc, term), p in out.items()
+    }
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(st.none(), _text_strategy), max_size=8))
+    def test_fused_kernel_property_vs_python_reference(texts):
+        import pyarrow as pa
+
+        from bm25_pagerank_rpi_spark.plans.index_build import (
+            _make_tokenize_tf_arrow_fn,
+        )
+
+        n = len(texts)
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(range(n)), type=pa.int64()),
+                pa.array([0] * n, type=pa.int32()),
+                pa.array(texts, type=pa.string()),
+            ],
+            names=["doc_int", "doc_length", "text"],
+        )
+        fn = _make_tokenize_tf_arrow_fn(with_positions=True)
+        got = set()
+        for out in fn(iter([batch])):
+            d = out.to_pydict()
+            for doc, term, tf, pos in zip(
+                d["doc_int"], d["term"], d["tf"], d["positions"]
+            ):
+                got.add((doc, term, tf, tuple(pos)))
+        assert got == _ref_postings(texts)
