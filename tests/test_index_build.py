@@ -498,9 +498,9 @@ def _one(rel, term):
 
 
 def test_write_counted_matches_rescan(built):
-    """write_counted's Observation count (which rides the write job
-    instead of a second scan of the output parquet) must equal a direct
-    re-count of every table it records in the manifest."""
+    """write_counted's footer-metadata count (a driver-side parquet
+    footer read instead of a second scan of the output parquet) must
+    equal a direct re-count of every table it records in the manifest."""
     m = built.read_manifest()["stages"]
     assert m["postings"]["rows"] == built.postings().count()
     assert m["blocks"]["rows"] == built.blocks().count()
