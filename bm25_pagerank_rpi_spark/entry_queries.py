@@ -981,6 +981,7 @@ from . import entry_queries_graph  # noqa: E402,F401
 from . import entry_queries_ltr  # noqa: E402,F401
 from . import entry_queries_retrieval  # noqa: E402,F401
 from . import entry_queries_eval  # noqa: E402,F401
+from . import entry_queries_context  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1021,6 +1022,12 @@ _DRIVER_UNSEEN_FIRST = [
     "significant_terms_from_index",
     "substring_search_from_index",
     "wand_batch_topk",
+    # round-4 additions (never driver-checked)
+    "recency_decay_topk",
+    "turn_context_topk",
+    "similar_docs_sparse",
+    "similar_docs_from_index",
+    "dup_span_stats",
     # green in r2 but absent from r3's 50-row run
     "letor_parse",
     "ltr_pairwise_sample",

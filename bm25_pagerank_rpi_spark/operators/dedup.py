@@ -39,6 +39,7 @@ from ..functions.hashing import phash
 from ..functions.tokenize import tokens_col
 
 SHINGLE_N = 3
+DUP_SPAN_N = 8  # token window for exact duplicated-span stats (Lee et al. use 50 BPE tokens; 8 words fits the short synthetic docs)
 NUM_HASHES = 16
 BANDS = 4  # rows per band = NUM_HASHES // BANDS = 4
 
@@ -352,4 +353,61 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span statistics (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(
+    docs: DataFrame, n: int = DUP_SPAN_N, hashed: bool = False
+) -> DataFrame:
+    """(doc_id, n_spans, dup_spans, dup_fraction) — per-doc exact
+    duplicated-substring statistics in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a span
+    is every length-``n`` token window of the doc (ALL positions, not the
+    distinct-shingle set Jaccard uses), and a span is *duplicated* when
+    its text occurs in at least one OTHER document. ``dup_fraction`` is
+    the curation signal: the share of a doc's windows that are
+    boilerplate shared with the rest of the corpus.
+
+    Docs shorter than ``n`` tokens have no window and are omitted (they
+    are exact-dedup's job, operators/dedup.py:50).
+
+    Scale shape: one explode to (doc_id, position-gram) rows, one hash
+    agg keyed by gram computing its distinct-doc count (map-side partial
+    agg collapses within-doc repeats before the exchange), one gram-keyed
+    equi-join back, one doc_id agg. Both shuffles are on well-distributed
+    keys; nothing pairwise, nothing quadratic. ``hashed=True`` replaces
+    the gram string with xxhash64(gram) for the agg/join keys — ~8 bytes
+    instead of ~n words per shuffled row, the right default at 100-TB
+    corpora (collision odds over even 10^12 spans are ~1e-7; the driver
+    oracle pair keeps string keys so DuckDB can reproduce values
+    exactly)."""
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    spans = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks.select("doc_id", F.explode(spans).alias("gram"))
+    if hashed:
+        occ = occ.select("doc_id", F.xxhash64("gram").alias("gram"))
+    gram_df = occ.distinct().groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df_g")
+    )
+    return (
+        occ.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum((F.col("df_g") >= 2).cast("int")).cast("int").alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
     )

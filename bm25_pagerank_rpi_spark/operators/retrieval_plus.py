@@ -1299,3 +1299,231 @@ def rrf_fusion(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "n_systems", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency decay, neighbor-turn context, sparse tf-idf similarity
+# ---------------------------------------------------------------------------
+
+
+def recency_decay_topk(
+    scored: DataFrame,
+    doc_ts: DataFrame,
+    origin: str,
+    half_life_s: float,
+    k: int = 20,
+    score_col: str = "bm25",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Elasticsearch-style ``function_score`` exponential recency decay:
+    blended = score * exp(ln(0.5) * age / half_life), age in seconds from
+    ``origin`` (docs newer than origin clamp to age 0 — no future boost).
+
+    The multiplicative-decay twin of blended_topk's additive prior: where
+    PageRank blending ADDS a static quality prior, time decay SCALES the
+    lexical score so staleness can never be outvoted by a huge BM25 hit
+    alone — the standard shape for ranking agent transcripts where recent
+    turns matter (reference stores a timestamp per example it never uses
+    in ranking; this is the consumer).
+
+    Same scale shape as blended_topk: one doc_id equi-join of the scored
+    candidates against the (doc_id, ts) relation (broadcastable when the
+    candidate set is post-truncation, shuffle-on-doc_id otherwise), a
+    codegen projection, one per-query WindowGroupLimit top-k."""
+    age = F.greatest(
+        F.lit(0.0),
+        F.lit(origin).cast("timestamp").cast("double")
+        - F.col("_ts").cast("double"),
+    )
+    decay = F.exp(F.lit(_LN_HALF / float(half_life_s)) * age)
+    out = (
+        scored.join(doc_ts.select("doc_id", F.col(ts_col).alias("_ts")), "doc_id")
+        .withColumn("decay", decay)
+        .withColumn("blended", F.col(score_col) * F.col("decay"))
+        .drop("_ts")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("blended"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+_LN_HALF = -0.6931471805599453  # ln(0.5), exact double
+
+
+def with_neighbor_turns(
+    topk_df: DataFrame,
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach the previous and next turn's text to an already-truncated
+    top-k of transcript turns — the "show the match in context" serving
+    shape for conversation search (a result turn is rarely useful without
+    the turn that prompted it).
+
+    Scale shape: the top-k relation is #queries x k rows, so BOTH
+    neighbor lookups are broadcast equi-joins of a tiny build side
+    against the transcript table on (conv_id, turn_idx +- 1) — never a
+    window over the full corpus (a global lag/lead would sort every
+    conversation to enrich k rows)."""
+    t = transcripts.select(
+        F.col(conv_col).alias("_c"),
+        F.col(turn_col).alias("_t"),
+        F.col(text_col).alias("_txt"),
+    )
+    prev = t.select(
+        F.col("_c"), (F.col("_t") + 1).alias("_tt"), F.col("_txt").alias("prev_text")
+    )
+    nxt = t.select(
+        F.col("_c"), (F.col("_t") - 1).alias("_tt"), F.col("_txt").alias("next_text")
+    )
+    base = topk_df.withColumn("_c", F.col(conv_col)).withColumn(
+        "_tt", F.col(turn_col)
+    )
+    return (
+        base.join(prev, ["_c", "_tt"], "left")
+        .join(nxt, ["_c", "_tt"], "left")
+        .drop("_c", "_tt")
+    )
+
+
+def _tfidf_weights(dtf: DataFrame, stats: DataFrame) -> DataFrame:
+    """(doc_id, term, w) with w = tf * ln(N / (df + 1)) — the engine's own
+    idf convention (A3, negative idf allowed) so sparse similarity and
+    BM25 agree on what a rare term is."""
+    df_rel = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dtf.join(df_rel, "term")
+        .crossJoin(F.broadcast(stats.select("doc_count")))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("doc_count").cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def _sparse_cosine_topk(
+    weights: DataFrame, source_ids: list[int], k: int
+) -> DataFrame:
+    """Shared core: cosine over sparse tf-idf vectors via a term equi-join
+    against the source docs' rows. The source side is |sources| docs'
+    terms — broadcast — so the corpus side is ONE postings-shaped scan +
+    one (src, doc) hash agg; nothing quadratic in the corpus."""
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    src_w = weights.filter(F.col("doc_id").isin(source_ids)).select(
+        F.col("doc_id").alias("src_id"), "term", F.col("w").alias("sw")
+    )
+    dots = (
+        weights.join(F.broadcast(src_w), "term")
+        .filter(F.col("doc_id") != F.col("src_id"))
+        .groupBy("src_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("sw")).alias("dot"))
+    )
+    out = (
+        dots.join(norms, "doc_id")
+        .join(
+            F.broadcast(
+                norms.filter(F.col("doc_id").isin(source_ids)).select(
+                    F.col("doc_id").alias("src_id"), F.col("norm").alias("src_norm")
+                )
+            ),
+            "src_id",
+        )
+        .filter((F.col("norm") > 0) & (F.col("src_norm") > 0))
+        .select(
+            "src_id",
+            "doc_id",
+            (F.col("dot") / (F.col("norm") * F.col("src_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("doc_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def similar_docs_sparse(
+    docs: DataFrame,
+    source_ids: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src_id, doc_id, cosine, rank) — top-k nearest docs to each source
+    doc under sparse tf-idf cosine (the inverted-index-native similarity,
+    complementary to the embedding ANN in operators/similarity.py: no
+    model, exact, vocabulary-interpretable).
+
+    Differs from more_like_this: MLT truncates the source to its top
+    tf-idf terms and re-scores with BM25 (a retrieval query); this is the
+    EXACT cosine over full sparse vectors (a similarity metric) — the
+    "related documents" panel vs the "more like this" search."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    stats = scorer.corpus_stats(scorer.doc_lengths(docs, id_col, text_col))
+    return _sparse_cosine_topk(_tfidf_weights(dtf, stats), source_ids, k)
+
+
+def similar_docs_from_index(
+    cat, source_doc_ids: list[str], k: int = 10
+) -> DataFrame:
+    """Index-backed twin of similar_docs_sparse: postings supply (doc, term,
+    tf), the persisted terms table supplies df, the manifest's corpus
+    stats supply N — zero raw-text re-aggregation per call. Norms are an
+    O(postings) aggregate; on a serving cluster they'd be persisted as a
+    build stage like doc_meta (same one-scan cost, paid once).
+
+    ``source_doc_ids`` are catalog doc_id strings; resolving them to the
+    index's dense doc_int (and the results back) is two doc_meta joins —
+    the source side a bounded planning collect (it is the user's own
+    source list)."""
+    doc_count, _ = cat.scalar_stats()
+    meta = cat.doc_meta().select("doc_int", "doc_id")
+    src_ints = [
+        r.doc_int
+        for r in meta.filter(F.col("doc_id").isin(source_doc_ids)).collect()
+    ]
+    post = cat.postings().select(
+        F.col("doc_int").alias("doc_id"), "term", "tf"
+    )
+    terms = cat.terms().select("term", "df")
+    weights = post.join(terms, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(
+                F.lit(float(doc_count)) / (F.col("df") + F.lit(1)).cast("double")
+            )
+        ).alias("w"),
+    )
+    ranked = _sparse_cosine_topk(weights, src_ints, k)
+    return (
+        ranked.withColumnRenamed("doc_id", "doc_int")
+        .join(meta, "doc_int")
+        .drop("doc_int")
+        .join(
+            F.broadcast(
+                meta.select(
+                    F.col("doc_int").alias("src_id"),
+                    F.col("doc_id").alias("src_doc_id"),
+                )
+            ),
+            "src_id",
+        )
+        .select(
+            F.col("src_doc_id").alias("src_id"), "doc_id", "cosine", "rank"
+        )
+    )

@@ -143,3 +143,65 @@ def test_degenerate_skew_bucket_survival(spark):
     small = docs.filter(F.col("doc_id").cast("long") < 20)
     capped = dedup.ngram_jaccard_pairs(small, threshold=0.7, max_shingle_df=None)
     assert capped.count() > 0  # identical docs rejoin at jaccard 1.0
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span statistics
+# ---------------------------------------------------------------------------
+
+SPAN_CORPUS = [
+    # doc 1 and 2 share the 8-token prefix; doc 1 is 10 tokens (3 spans),
+    # doc 2 is exactly 8 (1 span)
+    (1, "a b c d e f g h i j"),
+    (2, "a b c d e f g h"),
+    (3, "z y x w v u t s r q"),          # unique spans only
+    (4, "short doc"),                     # < n tokens: omitted
+    (5, ""),                              # empty: omitted
+]
+
+
+def _py_span_stats(rows, n=8):
+    grams = {}
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        spans = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not spans:
+            continue
+        per_doc[doc_id] = spans
+        for g in set(spans):
+            grams.setdefault(g, set()).add(doc_id)
+    out = {}
+    for doc_id, spans in per_doc.items():
+        dup = sum(1 for g in spans if len(grams[g]) >= 2)
+        out[doc_id] = (len(spans), dup, dup / len(spans))
+    return out
+
+
+def test_dup_span_stats_closed_form(spark):
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_fraction)
+        for r in dedup.dup_span_stats(_docs(spark, SPAN_CORPUS), n=8).collect()
+    }
+    want = _py_span_stats(SPAN_CORPUS, n=8)
+    assert set(got) == set(want) == {1, 2, 3}
+    for d in got:
+        assert got[d][:2] == want[d][:2]
+        assert got[d][2] == pytest.approx(want[d][2])
+    # doc 1: spans at offsets 0..2; only offset 0 ("a..h") is shared
+    assert got[1] == (3, 1, pytest.approx(1 / 3))
+    assert got[2] == (1, 1, pytest.approx(1.0))
+    assert got[3][1] == 0
+
+
+def test_dup_span_stats_hashed_parity(spark):
+    docs = _docs(spark, SPAN_CORPUS + [(10 + i, f"p{i} " * 12) for i in range(6)])
+    s = {
+        r.doc_id: (r.n_spans, r.dup_spans)
+        for r in dedup.dup_span_stats(docs, n=8, hashed=False).collect()
+    }
+    h = {
+        r.doc_id: (r.n_spans, r.dup_spans)
+        for r in dedup.dup_span_stats(docs, n=8, hashed=True).collect()
+    }
+    assert s == h

@@ -719,3 +719,125 @@ def test_substring_from_index_requires_stage(spark, corpus, tmp_path):
     pdf = spark.createDataFrame([("s1", "abcd")], "query_id string, text string")
     with _pytest.raises(ValueError, match="trigram"):
         rp.substring_search_from_index(cat, pdf)
+
+
+# ---------------------------------------------------------------------------
+# recency decay / neighbor turns / sparse tf-idf similarity
+# ---------------------------------------------------------------------------
+
+
+def test_recency_decay_closed_form(spark):
+    scored = spark.createDataFrame(
+        [("q1", 0, 2.0), ("q1", 1, 1.0), ("q1", 2, 1.0)],
+        "query_id string, doc_id long, bm25 double",
+    )
+    # doc 0 is 2h old, doc 1 is fresh (future ts clamps to age 0), doc 2 at origin
+    ts = spark.createDataFrame(
+        [
+            (0, "2025-01-01 22:00:00"),
+            (1, "2025-01-02 05:00:00"),
+            (2, "2025-01-02 00:00:00"),
+        ],
+        "doc_id long, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        r.doc_id: r
+        for r in rp.recency_decay_topk(
+            scored, ts, origin="2025-01-02 00:00:00", half_life_s=7200.0, k=10
+        ).collect()
+    }
+    assert got[0].decay == 0.5 and abs(got[0].blended - 1.0) < 1e-12
+    assert got[1].decay == 1.0 and got[1].blended == 1.0  # clamped, no boost
+    assert got[2].decay == 1.0
+    # ranks: doc 1 and 2 tie doc 0 on blended=1.0 -> doc_id asc
+    assert [got[d].rank for d in (0, 1, 2)] == [1, 2, 3]
+
+
+def test_with_neighbor_turns_boundaries(spark):
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "t0"), ("c1", 1, "t1"), ("c1", 2, "t2"),
+            ("c2", 0, "u0"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    top = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c1", 2), ("c2", 0)],
+        "conv_id string, turn_idx int",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.prev_text, r.next_text)
+        for r in rp.with_neighbor_turns(top, transcripts).collect()
+    }
+    assert got[("c1", 0)] == (None, "t1")
+    assert got[("c1", 1)] == ("t0", "t2")
+    assert got[("c1", 2)] == ("t1", None)
+    assert got[("c2", 0)] == (None, None)  # no bleed across conversations
+
+
+def _np_sparse_cosine(rows, sources, k=10):
+    import numpy as np
+
+    tf = {}
+    for doc_id, text in rows:
+        for t in text.split():
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    docs = sorted({d for d, _ in tf})
+    terms = sorted({t for _, t in tf})
+    n = len(rows)
+    df = {t: sum(1 for d in docs if (d, t) in tf) for t in terms}
+    w = {
+        (d, t): tf[(d, t)] * math.log(n / (df[t] + 1))
+        for (d, t) in tf
+    }
+    vec = {
+        d: np.array([w.get((d, t), 0.0) for t in terms]) for d in docs
+    }
+    out = set()
+    for s in sources:
+        sims = []
+        for d in docs:
+            if d == s:
+                continue
+            dot = float(vec[s] @ vec[d])
+            if dot == 0.0 and not any((d, t) in tf and (s, t) in tf for t in terms):
+                continue  # no shared term: the operator never emits the pair
+            na, nb = np.linalg.norm(vec[s]), np.linalg.norm(vec[d])
+            if na > 0 and nb > 0:
+                sims.append((d, dot / (na * nb)))
+        sims.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        for rank, (d, c) in enumerate(sims[:k], 1):
+            out.add((s, d, round(c, 6), rank))
+    return out
+
+
+def test_similar_docs_sparse_numpy_parity(spark):
+    rows = [
+        (0, "spark shuffle join hash"),
+        (1, "spark shuffle join sort"),
+        (2, "hash join spark shuffle"),   # same bag as 0 -> cosine 1 with 0
+        (3, "completely unrelated words here"),
+        (4, "spark"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.src_id, r.doc_id, round(r.cosine, 6), r.rank)
+        for r in rp.similar_docs_sparse(docs, [0, 3], k=10).collect()
+    }
+    assert got == _np_sparse_cosine(rows, [0, 3], k=10)
+    # bag-of-words identical docs have cosine 1.0
+    assert any(s == 0 and d == 2 and c == 1.0 for s, d, c, _ in got)
+
+
+def test_similar_docs_from_index_equals_raw(spark, corpus, tmp_path):
+    cat, docs = _twin_fixture(spark, corpus, tmp_path)
+    srcs = sorted(corpus)[:3]
+    raw = {
+        (r.src_id, r.doc_id, round(r.cosine, 6), r.rank)
+        for r in rp.similar_docs_sparse(docs, srcs, k=10).collect()
+    }
+    idx = {
+        (r.src_id, r.doc_id, round(r.cosine, 6), r.rank)
+        for r in rp.similar_docs_from_index(cat, srcs, k=10).collect()
+    }
+    assert raw == idx and raw
