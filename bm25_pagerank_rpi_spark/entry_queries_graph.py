@@ -238,3 +238,66 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes, edges, sources, damping=DAMPING, iterations=ITERS
     )
     return out.select("node", _r("pagerank").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the same doc graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 4
+
+
+def _hits_oracle(iters: int) -> str:
+    """Unrolled HITS: one (auth_raw, auth, hub_raw, hub) CTE quartet per
+    iteration — a full value oracle for the iterative algorithm, like the
+    recursive-CTE PageRank check but with the L1 normalizer per half-step
+    (window-free, so no recursion restrictions apply).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    iteration references the previous one twice (the normalizer subquery
+    + the join), so un-materialized the plan tree — and the number of
+    parquet scans of `documents` — doubles per half-step (fd exhaustion
+    at 4 iterations). Materialization makes it linear, 0.05s at sf0.001."""
+    parts = ["""
+WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id // 8 = b.doc_id // 8
+  UNION ALL
+  SELECT doc_id, (doc_id // 8) * 8 FROM documents WHERE doc_id % 8 <> 0
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i}r AS MATERIALIZED (SELECT e.dst AS node, sum(p.h) AS v
+          FROM edges e JOIN h{i - 1} p ON p.node = e.src GROUP BY e.dst),
+a{i} AS MATERIALIZED (SELECT n.node,
+           CASE WHEN (SELECT sum(v) FROM a{i}r) > 0
+                THEN coalesce(r.v, 0.0) / (SELECT sum(v) FROM a{i}r)
+                ELSE 0.0 END AS a
+         FROM nodes n LEFT JOIN a{i}r r USING (node)),
+h{i}r AS MATERIALIZED (SELECT e.src AS node, sum(p.a) AS v
+          FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src),
+h{i} AS MATERIALIZED (SELECT n.node,
+           CASE WHEN (SELECT sum(v) FROM h{i}r) > 0
+                THEN coalesce(r.v, 0.0) / (SELECT sum(v) FROM h{i}r)
+                ELSE 0.0 END AS h
+         FROM nodes n LEFT JOIN h{i}r r USING (node))""")
+    parts.append(f"""
+SELECT n.node, round(a.a, 6) AS authority, round(h.h, 6) AS hub
+FROM nodes n JOIN a{iters} a USING (node) JOIN h{iters} h USING (node)""")
+    return "".join(parts)
+
+
+@register("hits_scores", _hits_oracle(HITS_ITERS))
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the deterministic doc graph: within a
+    conversation the root turn collects every return edge (top
+    authority), later turns that link forward AND back are the hubs —
+    the complementary link-analysis signal to the PageRank prior."""
+    nodes, edges = _doc_graph(_docs(spark, sf_dir))
+    out = pagerank.hits(nodes, edges, iterations=HITS_ITERS)
+    return out.select(
+        "node", _r("authority").alias("authority"), _r("hub").alias("hub")
+    )

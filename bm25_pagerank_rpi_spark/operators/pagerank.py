@@ -250,3 +250,96 @@ def pagerank_table(
     candidates join against (J3)."""
     pr = pagerank(nodes, edges, damping, iterations, redistribute_dangling)
     return pr.join(link_info(nodes, edges), "node")
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, authority, hub) — Kleinberg's HITS (JACM 1999) by the same
+    co-partitioned join-agg loop as pagerank: per iteration,
+        auth'(v) = sum over in-edges of hub(u), then L1-normalize;
+        hub'(u)  = sum over out-edges of auth(v), then L1-normalize.
+    L1 (sum) normalization instead of the paper's L2 keeps every step a
+    plain aggregate both engines evaluate identically (the eigenvector
+    direction is the same; only the scale convention differs), and the
+    normalizer stays IN the plan as a 1-row broadcast — no driver collect
+    per iteration.
+
+    Scale shape mirrors pagerank's loop: TWO pinned edge copies — one
+    hash-partitioned on src (the auth pass joins hub on node==src
+    exchange-free), one on dst (the hub pass joins auth on node==dst) —
+    so each half-step pays exactly one shuffle, the contribution groupBy.
+    AQE is suspended for the loop for the same fixed-topology reason as
+    pagerank; lineage is cut with localCheckpoint."""
+    spark = nodes.sparkSession
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    npart = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+        or spark.sparkContext.defaultParallelism
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _hits_loop(nodes, edges, npart, iterations, checkpoint_every)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _hits_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    npart: int,
+    iterations: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    nodes_p = nodes.repartition(npart, "node").persist()
+    e_src = edges.repartition(npart, "src").persist()
+    e_dst = edges.repartition(npart, "dst").persist()
+    e_src.count(), e_dst.count()
+
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        # raw: (node, v) sparse — missing nodes are implicit zeros, so the
+        # L1 normalizer over raw equals the normalizer over the dense frame
+        total = raw.agg(F.coalesce(F.sum("v"), F.lit(0.0)).alias("_tot"))
+        return (
+            nodes_p.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(
+                    F.col("_tot") > 0,
+                    F.coalesce(F.col("v"), F.lit(0.0)) / F.col("_tot"),
+                ).otherwise(F.lit(0.0)).alias(out_col),
+            )
+        )
+
+    hub = nodes_p.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(iterations):
+        auth_raw = (
+            hub.join(e_src, hub.node == e_src.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        auth = _normalized(auth_raw, "authority")
+        hub_raw = (
+            auth.join(e_dst, auth.node == e_dst.dst)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("v"))
+        )
+        hub = _normalized(hub_raw, "hub")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    out = auth.join(hub, "node").localCheckpoint(eager=True)
+    nodes_p.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out

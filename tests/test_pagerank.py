@@ -125,3 +125,52 @@ def test_personalized_pagerank_matches_numpy(spark):
         assert got[i] == pytest.approx(rank[i], abs=1e-12), i
     # mass localizes: a source outranks the node furthest from both sources
     assert got[0] > got[5] or got[3] > got[5]
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _np_hits(n_nodes, edge_list, iters):
+    import numpy as np
+
+    A = np.zeros((n_nodes, n_nodes))
+    for s, d in edge_list:
+        A[s, d] += 1.0
+    h = np.ones(n_nodes)
+    a = np.zeros(n_nodes)
+    for _ in range(iters):
+        a = A.T @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = A @ a
+        h = h / h.sum() if h.sum() > 0 else h
+    return a, h
+
+
+def test_hits_numpy_parity(spark):
+    from bm25_pagerank_rpi_spark.operators.pagerank import hits
+
+    # a hub node (0) pointing at two authorities (1, 2), plus a chain and
+    # an isolated node (5): zero on both scores
+    edge_list = [(0, 1), (0, 2), (3, 1), (1, 4), (2, 4), (4, 0)]
+    n_nodes = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: (r.authority, r.hub) for r in hits(nodes, edges, iterations=4).collect()}
+    a, h = _np_hits(n_nodes, edge_list, 4)
+    for i in range(n_nodes):
+        assert got[i][0] == pytest.approx(a[i], abs=1e-12)
+        assert got[i][1] == pytest.approx(h[i], abs=1e-12)
+    assert got[5] == (0.0, 0.0)
+    # node 1 (pointed at by 0 and 3) should out-rank node 2 on authority
+    assert got[1][0] > got[2][0]
+
+
+def test_hits_empty_graph(spark):
+    from bm25_pagerank_rpi_spark.operators.pagerank import hits
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r.node: (r.authority, r.hub) for r in hits(nodes, edges, iterations=2).collect()}
+    assert got == {1: (0.0, 0.0), 2: (0.0, 0.0)}
