@@ -1412,15 +1412,21 @@ def _tfidf_weights(dtf: DataFrame, stats: DataFrame) -> DataFrame:
 
 
 def _sparse_cosine_topk(
-    weights: DataFrame, source_ids: list[int], k: int
+    weights: DataFrame,
+    source_ids: list[int],
+    k: int,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core: cosine over sparse tf-idf vectors via a term equi-join
     against the source docs' rows. The source side is |sources| docs'
     terms — broadcast — so the corpus side is ONE postings-shaped scan +
-    one (src, doc) hash agg; nothing quadratic in the corpus."""
-    norms = weights.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
-    )
+    one (src, doc) hash agg; nothing quadratic in the corpus. Pass a
+    precomputed ``norms`` (doc_id, norm) relation to skip the corpus-wide
+    norm aggregate (the persisted ``docnorms`` build stage)."""
+    if norms is None:
+        norms = weights.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+        )
     src_w = weights.filter(F.col("doc_id").isin(source_ids)).select(
         F.col("doc_id").alias("src_id"), "term", F.col("w").alias("sw")
     )
@@ -1481,9 +1487,11 @@ def similar_docs_from_index(
 ) -> DataFrame:
     """Index-backed twin of similar_docs_sparse: postings supply (doc, term,
     tf), the persisted terms table supplies df, the manifest's corpus
-    stats supply N — zero raw-text re-aggregation per call. Norms are an
-    O(postings) aggregate; on a serving cluster they'd be persisted as a
-    build stage like doc_meta (same one-scan cost, paid once).
+    stats supply N — zero raw-text re-aggregation per call. Norms come
+    from the persisted ``docnorms`` table when the optional
+    plans.index_build.build_docnorm_index stage ran (one corpus-wide
+    aggregate paid at build time, not per call); otherwise they fall back
+    to an O(postings) aggregate in-plan.
 
     ``source_doc_ids`` are catalog doc_id strings; resolving them to the
     index's dense doc_int (and the results back) is two doc_meta joins —
@@ -1509,7 +1517,12 @@ def similar_docs_from_index(
             )
         ).alias("w"),
     )
-    ranked = _sparse_cosine_topk(weights, src_ints, k)
+    norms = None
+    if cat.stage_complete("docnorms"):
+        norms = cat.read("docnorms").select(
+            F.col("doc_int").alias("doc_id"), "norm"
+        )
+    ranked = _sparse_cosine_topk(weights, src_ints, k, norms=norms)
     return (
         ranked.withColumnRenamed("doc_id", "doc_int")
         .join(meta, "doc_int")

@@ -1018,3 +1018,41 @@ def build_trigram_index(
         "trigrams", out, n, time.time() - t0, {"trigram_buckets": n_buckets}
     )
     return cat
+
+
+def build_docnorm_index(cat: IndexCatalog, resume: bool = True) -> IndexCatalog:
+    """Optional add-on build stage: per-document sparse tf-idf L2 norms
+    (operators.retrieval_plus.similar_docs_from_index). Reads ONLY
+    already-persisted tables — postings for (doc, term, tf), terms for df,
+    corpus_stats for N — so it composes with resume at any point after the
+    core stages.
+
+    One postings-shaped scan + one doc_int hash agg; paid once at build
+    time instead of once per similarity call (the norms relation is
+    corpus-sized, the exact thing a per-query path cannot afford to
+    recompute at 100 TB). Same idf convention as A3: ln(N/(df+1))."""
+    if resume and cat.stage_complete("docnorms"):
+        return cat
+    t0 = time.time()
+    doc_count, _ = cat.scalar_stats()
+    w = (
+        cat.postings()
+        .select("doc_int", "term", "tf")
+        .join(cat.terms().select("term", "df"), "term")
+        .select(
+            "doc_int",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.lit(float(doc_count))
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_int").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    out, n = cat.write_counted(norms, "docnorms")
+    cat.record_stage("docnorms", out, n, time.time() - t0, {})
+    return cat

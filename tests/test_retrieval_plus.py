@@ -841,3 +841,13 @@ def test_similar_docs_from_index_equals_raw(spark, corpus, tmp_path):
         for r in rp.similar_docs_from_index(cat, srcs, k=10).collect()
     }
     assert raw == idx and raw
+    # with the persisted docnorms stage the values must not move
+    from bm25_pagerank_rpi_spark.plans.index_build import build_docnorm_index
+
+    build_docnorm_index(cat)
+    assert cat.stage_complete("docnorms")
+    idx2 = {
+        (r.src_id, r.doc_id, round(r.cosine, 6), r.rank)
+        for r in rp.similar_docs_from_index(cat, srcs, k=10).collect()
+    }
+    assert idx2 == raw
