@@ -1029,6 +1029,7 @@ _DRIVER_UNSEEN_FIRST = [
     "similar_docs_from_index",
     "dup_span_stats",
     "hits_scores",
+    "explain_scores_topk",
     # green in r2 but absent from r3's 50-row run
     "letor_parse",
     "ltr_pairwise_sample",

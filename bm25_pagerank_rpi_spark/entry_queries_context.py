@@ -245,3 +245,43 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_spans", "dup_spans", _r("dup_fraction").alias("dup_fraction")
     )
+
+
+# ---------------------------------------------------------------------------
+# Score explanation (per-term BM25 breakdown of the top-k)
+# ---------------------------------------------------------------------------
+
+from .entry_queries_retrieval import _BM25_TERM_SQL  # noqa: E402
+
+ORACLE_EXPLAIN = SQL_SKELETON + f"""
+, ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+)
+SELECT o.doc_id, r.rank, round(r.bm25, 6) AS bm25, o.pos, o.term,
+       coalesce(o.tf, 0)::INT AS tf, round(o.idf, 6) AS idf,
+       round({_BM25_TERM_SQL}, 6) AS contribution
+FROM occ o JOIN ranked r ON r.doc_id = o.doc_id
+WHERE r.rank <= 5
+"""
+
+
+@register("explain_scores_topk", ORACLE_EXPLAIN)
+def q_explain_scores_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch-_explain analog: one row per (query occurrence,
+    top-5 doc) with tf / idf / additive BM25 contribution. The reference
+    query's duplicate term contributes twice and its absent term shows
+    idf NULL + contribution 0 — the multiplicity and missing-skip
+    semantics made visible."""
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    out = scorer.explain_scores(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark), k=5,
+    )
+    return out.select(
+        "doc_id", F.col("rank").cast("int").alias("rank"),
+        _r("bm25").alias("bm25"), "pos", "term", "tf",
+        _r("idf").alias("idf"), _r("contribution").alias("contribution"),
+    )

@@ -340,3 +340,73 @@ def rank_documents(
     out = topk(scored, k).localCheckpoint(eager=True)
     dtf_q.unpersist()
     return out
+
+
+def explain_scores(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query-term BM25 breakdown for each query's top-k documents —
+    the Elasticsearch ``_explain`` analog for relevance debugging. The
+    reference computes exactly these per-term quantities inside its
+    scoring loop (features.go:118-139) and keeps only the sum; this
+    exposes them: one row per (query occurrence, top-k doc) with the
+    occurrence's tf (0 when the doc lacks the term), idf (null when no
+    posting exists corpus-wide — the skipped-term case), and its additive
+    ``contribution`` to the doc's bm25 (so sum(contribution) over a doc
+    == its bm25).
+
+    Scale shape: the ranking itself is the normal score_candidates +
+    topk pass; the breakdown then touches ONLY #queries x k docs — their
+    ids broadcast as a semi-join filter on doc_tf / doc_len, so the
+    explain stage's cost is independent of corpus size."""
+    qocc = query_term_occurrences(queries)
+    qterms = qocc.select("query_id", "term").distinct()
+    idf = term_idf(doc_tf, stats, qterms)
+    ranked = topk(
+        score_candidates(doc_tf, doc_len, stats, queries).select(
+            "query_id", "doc_id", "bm25"
+        ),
+        k,
+    )
+    ids = ranked.select("doc_id").distinct()
+    # postings / lengths of the k docs only: broadcast semi-joins, so the
+    # corpus-sized relations are filtered in place, never re-shuffled
+    dtf_k = doc_tf.join(F.broadcast(ids), "doc_id")
+    dlen_k = doc_len.join(F.broadcast(ids), "doc_id")
+    grid = (
+        ranked.join(qocc, "query_id")
+        .join(dtf_k, ["doc_id", "term"], "left")
+        .join(idf.select("term", "idf"), "term", "left")
+        .join(dlen_k, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf0 = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    contribution = F.when(
+        F.col("tf").isNotNull() & F.col("idf").isNotNull(),
+        F.col("idf")
+        * (tf0 * F.lit(K1 + 1.0))
+        / (
+            tf0
+            + F.lit(K1)
+            * (
+                F.lit(1.0 - B)
+                + F.lit(B)
+                * (F.col("doc_length").cast("double") / F.col("avg_doc_length"))
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return grid.select(
+        "query_id",
+        "doc_id",
+        "rank",
+        "bm25",
+        "pos",
+        "term",
+        F.coalesce(F.col("tf"), F.lit(0)).cast("int").alias("tf"),
+        "idf",
+        contribution.alias("contribution"),
+    )

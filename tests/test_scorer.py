@@ -138,3 +138,50 @@ def test_topk_truncation(spark, corpus):
     out = scorer.rank_documents(docs_df, q_df, k=2).collect()
     assert len(out) <= 2
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, len(out) + 1))
+
+
+# ---------------------------------------------------------------------------
+# explain_scores
+# ---------------------------------------------------------------------------
+
+
+def test_explain_contributions_sum_to_bm25(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash table scan"),
+            (2, "hash merge sort"),
+            (3, "window frame row"),
+        ],
+        "doc_id long, text string",
+    )
+    # duplicate term ("hash" twice) + absent term ("zzz")
+    q = spark.createDataFrame(
+        [("q1", "hash hash join zzz")], "query_id string, text string"
+    )
+    dlen = scorer.doc_lengths(docs)
+    dtf = scorer.doc_term_frequencies(docs)
+    stats = scorer.corpus_stats(dlen)
+    exp = scorer.explain_scores(dtf, dlen, stats, q, k=10).collect()
+    ranked = {
+        r.doc_id: r.bm25
+        for r in scorer.topk(
+            scorer.score_candidates(dtf, dlen, stats, q), k=10
+        ).collect()
+    }
+    by_doc = {}
+    for r in exp:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(ranked)  # every top-k doc explained
+    for doc_id, rows in by_doc.items():
+        # one row per QUERY OCCURRENCE (4 tokens, dup kept)
+        assert len(rows) == 4
+        assert sum(r.contribution for r in rows) == pytest.approx(
+            ranked[doc_id], abs=1e-12
+        )
+        # the duplicate term contributes identically at both positions
+        hash_rows = [r for r in rows if r.term == "hash"]
+        assert len(hash_rows) == 2
+        assert hash_rows[0].contribution == hash_rows[1].contribution
+        # the absent term: idf NULL, contribution 0
+        zzz = [r for r in rows if r.term == "zzz"][0]
+        assert zzz.idf is None and zzz.contribution == 0.0 and zzz.tf == 0
