@@ -9,8 +9,6 @@ reconstruct the transcript columns from the `documents` view exactly.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
