@@ -1363,28 +1363,42 @@ def with_neighbor_turns(
     shape for conversation search (a result turn is rarely useful without
     the turn that prompted it).
 
-    Scale shape: the top-k relation is #queries x k rows, so BOTH
-    neighbor lookups are broadcast equi-joins of a tiny build side
-    against the transcript table on (conv_id, turn_idx +- 1) — never a
-    window over the full corpus (a global lag/lead would sort every
-    conversation to enrich k rows)."""
+    Scale shape: the top-k relation is #queries x k rows — but a LEFT
+    join with the tiny relation on the left cannot broadcast (Spark's
+    BroadcastHashJoin only builds the RIGHT side of a left-outer join,
+    and the right side here is the corpus), so the naive join would
+    shuffle the whole transcript table to enrich k rows. Instead the
+    corpus is first INNER-joined against the broadcast key set (BHJ
+    BuildRight: the corpus streams map-side, zero exchange), which
+    bounds the neighbor relation at <= 2k rows; the left joins then run
+    tiny-vs-tiny. Never a window over the full corpus either (a global
+    lag/lead would sort every conversation)."""
     t = transcripts.select(
         F.col(conv_col).alias("_c"),
         F.col(turn_col).alias("_t"),
         F.col(text_col).alias("_txt"),
     )
-    prev = t.select(
-        F.col("_c"), (F.col("_t") + 1).alias("_tt"), F.col("_txt").alias("prev_text")
-    )
-    nxt = t.select(
-        F.col("_c"), (F.col("_t") - 1).alias("_tt"), F.col("_txt").alias("next_text")
-    )
     base = topk_df.withColumn("_c", F.col(conv_col)).withColumn(
         "_tt", F.col(turn_col)
     )
+    keys = base.select("_c", "_tt")
+    prev = (
+        t.select(
+            F.col("_c"), (F.col("_t") + 1).alias("_tt"),
+            F.col("_txt").alias("prev_text"),
+        )
+        .join(F.broadcast(keys), ["_c", "_tt"])
+    )
+    nxt = (
+        t.select(
+            F.col("_c"), (F.col("_t") - 1).alias("_tt"),
+            F.col("_txt").alias("next_text"),
+        )
+        .join(F.broadcast(keys), ["_c", "_tt"])
+    )
     return (
-        base.join(prev, ["_c", "_tt"], "left")
-        .join(nxt, ["_c", "_tt"], "left")
+        base.join(F.broadcast(prev), ["_c", "_tt"], "left")
+        .join(F.broadcast(nxt), ["_c", "_tt"], "left")
         .drop("_c", "_tt")
     )
 
