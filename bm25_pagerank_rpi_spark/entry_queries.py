@@ -289,6 +289,65 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Segment merge (plans/index_merge.py): two shard indexes built over a
+# doc-parity split of the corpus, merged Lucene-style (tombstone purge +
+# doc_int re-base + re-encode under the merged avgdl), then WAND top-k.
+# The oracle is the SAME single-index BM25 skeleton — a merged catalog
+# must be query-indistinguishable from a from-scratch build of the union.
+# ---------------------------------------------------------------------------
+
+@register(
+    "merged_index_topk",
+    SQL_SKELETON
+    + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+""",
+)
+def q_merged_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators import wand as wand_mod
+    from .plans.index_build import build_index
+    from .plans.index_merge import merge_catalogs
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    # documents.doc_id = conv*8 + turn (sources/transcripts.py) — split the
+    # corpus into two shards by that parity, build each independently
+    parity = (
+        F.regexp_extract("conv_id", r"(\d+)", 1).cast("long") * 8
+        + F.col("turn_idx")
+    ) % 2
+    shards = [
+        build_index(
+            spark, t.filter(parity == p),
+            f"/tmp/driver_merge_shard{p}_v1_{tag}", n_buckets=8,
+        )
+        for p in (0, 1)
+    ]
+    cat = merge_catalogs(spark, shards, f"/tmp/driver_merged_index_v1_{tag}")
+    out = wand_mod.wand_topk(cat, _queries_df(spark), k=1000)
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"), _r("bm25").alias("bm25")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch serving (VERDICT r3 #6): one WandSession.topk call scores a whole
 # batch of queries — wand shards on (query_id, doc-range), so the batch
 # amortizes scan/job overhead across queries (32 q/s vs ~1.3 q/s
@@ -1030,6 +1089,7 @@ _DRIVER_UNSEEN_FIRST = [
     "dup_span_stats",
     "hits_scores",
     "explain_scores_topk",
+    "merged_index_topk",
     # green in r2 but absent from r3's 50-row run
     "letor_parse",
     "ltr_pairwise_sample",
