@@ -348,6 +348,117 @@ def q_merged_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Static impact-ordered pruning (plans/index_prune.py, Carmel et al. 2001):
+# keep the top-m postings per term by encoded BM25 factor (tie doc_int ASC),
+# score survivors with FROZEN full-corpus idf. The oracle replays the same
+# deterministic pruning rule in SQL, so this is a value check of the pruned
+# tier's exact semantics, not an approximation bound.
+# ---------------------------------------------------------------------------
+
+PRUNE_KEEP_DF = 24
+
+
+def _pruned_oracle(keep_df: int) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qterms AS (
+  SELECT * FROM (VALUES {_qterms_values(QUERY_TERMS)}) AS v(pos, term)
+),
+factors AS (
+  -- identical operation order to the Spark encode factor so the doubles
+  -- (and therefore the top-m boundary) are bit-identical
+  SELECT dt.doc_id, dt.term,
+         (dt.tf::DOUBLE * {K1 + 1.0}) /
+         (dt.tf::DOUBLE + {K1} * ({1.0 - B} + {B} * (dl.doc_length::DOUBLE / s.avg_doc_length))) AS factor
+  FROM doc_tf dt
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN stats s
+),
+pruned AS (
+  SELECT doc_id, term, factor FROM (
+    SELECT f.*,
+           row_number() OVER (PARTITION BY term ORDER BY factor DESC, doc_id ASC) AS r
+    FROM factors f
+  ) WHERE r <= {keep_df}
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM term_df
+),
+scored AS (
+  -- join per query OCCURRENCE (qterms.pos), not per distinct term: a
+  -- duplicated query term contributes its idf*factor once per occurrence
+  -- (A7 multiplicity, same as the exact scorer and WAND)
+  SELECT p.doc_id, sum(i.idf * p.factor) AS bm25
+  FROM qterms q
+  JOIN pruned p ON p.term = q.term
+  JOIN idf i ON i.term = q.term
+  GROUP BY p.doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+@register("pruned_index_topk", _pruned_oracle(PRUNE_KEEP_DF))
+def q_pruned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators import wand as wand_mod
+    from .plans.index_build import build_index
+    from .plans.index_prune import prune_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    full = build_index(
+        spark, t, f"/tmp/driver_wand_index_v3_{tag}", n_buckets=8
+    )
+    cat = prune_index(
+        spark, full, f"/tmp/driver_pruned_index_v1_{tag}",
+        keep_df=PRUNE_KEEP_DF,
+    )
+    out = wand_mod.wand_topk(cat, _queries_df(spark), k=1000)
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"), _r("bm25").alias("bm25")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch serving (VERDICT r3 #6): one WandSession.topk call scores a whole
 # batch of queries — wand shards on (query_id, doc-range), so the batch
 # amortizes scan/job overhead across queries (32 q/s vs ~1.3 q/s
@@ -1090,6 +1201,7 @@ _DRIVER_UNSEEN_FIRST = [
     "hits_scores",
     "explain_scores_topk",
     "merged_index_topk",
+    "pruned_index_topk",
     # green in r2 but absent from r3's 50-row run
     "letor_parse",
     "ltr_pairwise_sample",
