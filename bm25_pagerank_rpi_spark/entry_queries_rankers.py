@@ -1,0 +1,115 @@
+"""Driver pairs for the alternative ranking similarities
+(operators/ranking_models.py): Dirichlet and Jelinek-Mercer query
+likelihood over the SAME query and candidate contract as bm25_topk.
+
+The oracle replays the model definition verbatim in DuckDB over the same
+tokenizer CTEs the BM25 skeleton uses; scores are 6-dp-rounded before the
+rank window on BOTH sides (repo-wide tie-break convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import (
+    QUERY_TERMS,
+    _docs,
+    _qterms_values,
+    _queries_df,
+    register,
+)
+from .operators import ranking_models, scorer
+
+_LM_BASE = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+coll AS (
+  SELECT sum(doc_length)::DOUBLE AS total_tokens FROM doc_len
+),
+qocc AS (
+  SELECT * FROM (VALUES {_qterms_values(QUERY_TERMS)}) AS v(pos, term)
+),
+ctf AS (
+  SELECT term, sum(tf)::DOUBLE AS ctf
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qocc)
+  GROUP BY term
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM doc_tf
+  WHERE term IN (SELECT DISTINCT term FROM qocc)
+),
+occ AS (
+  SELECT q.pos, q.term, c.doc_id, coalesce(dt.tf, 0)::DOUBLE AS tf,
+         dl.doc_length::DOUBLE AS dl, t.ctf,
+         (SELECT total_tokens FROM coll) AS total_tokens
+  FROM qocc q
+  JOIN ctf t USING (term)
+  CROSS JOIN cand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+),
+"""
+
+_LM_TOPK = """
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+"""
+
+ORACLE_LMDIR = _LM_BASE + f"""
+perdoc AS (
+  SELECT doc_id,
+         sum(ln(1.0 + tf / ({ranking_models.MU} * ctf / total_tokens))
+             + ln({ranking_models.MU} / (dl + {ranking_models.MU}))) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LM_TOPK
+
+ORACLE_LMJM = _LM_BASE + f"""
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf > 0 AND dl > 0
+             THEN ln(1.0 + ({(1.0 - ranking_models.LAMBDA) / ranking_models.LAMBDA}
+                  * (tf / dl)) / (ctf / total_tokens))
+             ELSE 0.0 END) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LM_TOPK
+
+
+def _lm_inputs(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    return (
+        scorer.doc_term_frequencies(docs),
+        scorer.doc_lengths(docs),
+        _queries_df(spark),
+    )
+
+
+@register("lmdir_topk", ORACLE_LMDIR)
+def q_lmdir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.lmdir_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")
+
+
+@register("lmjm_topk", ORACLE_LMJM)
+def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.lmjm_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")

@@ -1,0 +1,140 @@
+"""Alternative ranking similarities: query-likelihood language models.
+
+Lucene/Elasticsearch let an index swap BM25 for LMDirichletSimilarity or
+LMJelinekMercerSimilarity per field; a user switching from the reference
+engine to this repo gets the same menu. Both models score the SAME
+disjunctive candidate set the exact BM25 scorer uses (docs holding >= 1
+query-term posting — the S1/S2 posting-fetch contract,
+/root/reference/internal/ranking/data_getters.go:17-40), so the candidate
+relations (doc_tf, doc_lengths) and the broadcast-query-terms join shape
+are shared with operators/scorer.py and inherit its plan properties: one
+hash agg per relation, broadcast stats, a single per-query window for the
+final top-k. Nothing here shuffles more than bm25_topk does.
+
+Model definitions (Zhai & Lafferty 2001, "A Study of Smoothing Methods
+for Language Models Applied to Ad Hoc Information Retrieval"):
+
+- Dirichlet: per query occurrence t (duplicates kept, multiplicity
+  matters — same convention as A7 BM25) whose term exists in the
+  collection,
+      contrib = ln(1 + tf(t,d) / (mu * p(t|C))) + ln(mu / (dl + mu))
+  with p(t|C) = ctf(t) / total_tokens. Occurrences of terms absent from
+  the collection are skipped (the missing-idf analogue). tf(t,d) = 0
+  occurrences contribute only the length normalizer.
+- Jelinek-Mercer: contrib = ln(1 + ((1-lam)/lam) * (tf(t,d)/dl) / p(t|C));
+  tf=0 occurrences contribute ln(1) = 0, dl=0 docs contribute 0.
+
+Scores are 6-dp-rounded BEFORE the rank window so tie-breaks are
+engine-portable (the repo-wide oracle convention).
+
+100-TB notes: ctf/total_tokens are one broadcastable vocabulary-sized
+aggregate restricted to the query's distinct terms (broadcast semi-join
+prunes the agg input exactly like term_idf); candidates shuffle once on
+doc_id; the rank window is per-query WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import scorer
+
+MU = 2000.0
+LAMBDA = 0.1
+
+
+def _occ(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared occurrence relation: (query_id, pos, term, doc_id, tf, dl,
+    ctf, total_tokens) for every (query occurrence x candidate doc), plus
+    the 1-row collection stats. Terms with zero collection frequency are
+    dropped (inner join on ctf)."""
+    qocc = scorer.query_term_occurrences(queries)
+    qterms = qocc.select("term").distinct()
+    coll = doc_len.agg(F.sum("doc_length").cast("double").alias("total_tokens"))
+    ctf = (
+        doc_tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("ctf"))
+    )
+    cand = (
+        doc_tf.join(F.broadcast(qocc.select("query_id", "term").distinct()), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    occ = (
+        qocc.join(F.broadcast(ctf), "term")
+        .join(cand, "query_id")
+        .join(
+            doc_tf.select("doc_id", "term", "tf"),
+            ["doc_id", "term"],
+            "left",
+        )
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "query_id",
+            "doc_id",
+            "pos",
+            "term",
+            F.coalesce("tf", F.lit(0)).cast("double").alias("tf"),
+            F.col("doc_length").cast("double").alias("dl"),
+            "ctf",
+            "total_tokens",
+        )
+    )
+    return occ, coll
+
+
+def lmdir_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+    mu: float = MU,
+) -> DataFrame:
+    """(query_id, doc_id, score) under Dirichlet-smoothed query likelihood."""
+    occ, _ = _occ(doc_tf, doc_len, queries)
+    contrib = F.log(
+        F.lit(1.0) + F.col("tf") / (F.lit(mu) * F.col("ctf") / F.col("total_tokens"))
+    ) + F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def lmjm_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+    lam: float = LAMBDA,
+) -> DataFrame:
+    """(query_id, doc_id, score) under Jelinek-Mercer query likelihood."""
+    occ, _ = _occ(doc_tf, doc_len, queries)
+    ratio = F.when(
+        (F.col("dl") > 0) & (F.col("tf") > 0),
+        (F.lit((1.0 - lam) / lam) * (F.col("tf") / F.col("dl")))
+        / (F.col("ctf") / F.col("total_tokens")),
+    ).otherwise(F.lit(0.0))
+    contrib = F.log(F.lit(1.0) + ratio)
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """Per-query top-k on the 6-dp-rounded score, doc_id-asc tie-break."""
+    r = F.round(F.col(score_col), 6)
+    w = Window.partitionBy("query_id").orderBy(r.desc(), F.col("doc_id").asc())
+    return (
+        scored.select("query_id", "doc_id", r.alias(score_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,90 @@
+"""LM Dirichlet / Jelinek-Mercer similarities vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bm25_pagerank_rpi_spark.operators import ranking_models, scorer
+
+DOCS = [
+    ("d1", "apple banana apple cherry"),
+    ("d2", "banana banana durian"),
+    ("d3", "cherry apple"),
+    ("d4", "elderberry fig fig fig"),
+    ("d5", ""),
+]
+QUERY = "apple banana banana zzznope"  # dup term -> multiplicity, absent term -> skip
+
+
+def _py_scores(model: str, mu: float = 2000.0, lam: float = 0.1) -> dict[str, float]:
+    toks = {d: t.split() for d, t in DOCS if t}
+    tf = {d: {} for d in toks}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dl = {d: len(ts) for d, ts in toks.items()}
+    total = float(sum(dl.values()))
+    qocc = QUERY.split()
+    ctf = {
+        t: float(sum(tf[d].get(t, 0) for d in tf))
+        for t in set(qocc)
+    }
+    cand = {d for d in tf if any(tf[d].get(t, 0) > 0 for t in set(qocc))}
+    out = {}
+    for d in cand:
+        s = 0.0
+        for t in qocc:
+            if ctf[t] == 0:
+                continue  # absent from collection: occurrence skipped
+            f = float(tf[d].get(t, 0))
+            pc = ctf[t] / total
+            if model == "dir":
+                s += math.log(1.0 + f / (mu * pc)) + math.log(mu / (dl[d] + mu))
+            else:
+                s += math.log(1.0 + ((1.0 - lam) / lam) * (f / dl[d]) / pc) if f > 0 else 0.0
+        out[d] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    qs = spark.createDataFrame([("q1", QUERY)], "query_id string, text string")
+    return (
+        scorer.doc_term_frequencies(docs),
+        scorer.doc_lengths(docs),
+        qs,
+    )
+
+
+def test_lmdir_matches_oracle(inputs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ranking_models.lmdir_score(*inputs).collect()
+    }
+    exp = _py_scores("dir")
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], abs=1e-12)
+
+
+def test_lmjm_matches_oracle(inputs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ranking_models.lmjm_score(*inputs).collect()
+    }
+    exp = _py_scores("jm")
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], abs=1e-12)
+
+
+def test_topk_tiebreak(inputs):
+    scored = ranking_models.lmdir_score(*inputs)
+    rows = ranking_models.topk(scored, 3).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # rank order == (round(score,6) desc, doc_id asc)
+    keys = [(-r["score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
