@@ -1153,6 +1153,7 @@ from . import entry_queries_retrieval  # noqa: E402,F401
 from . import entry_queries_eval  # noqa: E402,F401
 from . import entry_queries_context  # noqa: E402,F401
 from . import entry_queries_rankers  # noqa: E402,F401
+from . import entry_queries_sketches  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
