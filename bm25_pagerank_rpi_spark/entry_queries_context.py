@@ -19,7 +19,7 @@ from .entry_queries import (
     _r,
     register,
 )
-from .operators import dedup, retrieval_plus, scorer
+from .operators import conversations, dedup, retrieval_plus, scorer
 from .sources.transcripts import synthesize_transcripts
 
 # ---------------------------------------------------------------------------
@@ -283,3 +283,46 @@ def q_explain_scores_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("bm25").alias("bm25"), "pos", "term", "tf",
         _r("idf").alias("idf"), _r("contribution").alias("contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level transcript profile (operators/conversations.py)
+# ---------------------------------------------------------------------------
+
+ORACLE_CONV_PROFILE = """
+WITH turns AS (
+  SELECT printf('conv_%08d', doc_id // 8) AS conv_id,
+         list_extract(['user','assistant','system','tool'],
+                      ((doc_id % 8) % 4 + 1)::INT) AS role,
+         list_extract(['none','search','code','browser'],
+                      ((doc_id % 16) // 4 + 1)::INT) AS tool,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1
+         END AS n_tokens,
+         doc_id AS epoch
+  FROM documents
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_role_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_role_assistant,
+       sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END)::BIGINT AS n_role_system,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_role_tool,
+       sum(CASE WHEN tool <> 'none' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       count(DISTINCT CASE WHEN tool <> 'none' THEN tool END)::BIGINT AS distinct_tools,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_turn_tokens,
+       max(epoch) - min(epoch) AS duration_s
+FROM turns GROUP BY conv_id
+"""
+
+
+@register("conversation_stats", ORACLE_CONV_PROFILE)
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile (role mix, tool usage, token volume,
+    wall-clock span) over the deterministic transcript table. The oracle
+    reconstructs conv/role/tool/ts from the documents view via the
+    replicas=1 bijection (ts == epoch + doc_id seconds, so duration ==
+    max(doc_id) - min(doc_id) within a conversation)."""
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    return conversations.conversation_profile(t)
