@@ -870,3 +870,121 @@ def q_substring_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = retrieval_plus.substring_search_from_index(cat, pats)
     return out.select("query_id", _doc_long().alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Wildcard (trailing-*) prefix queries — Lucene PrefixQuery analog
+# ---------------------------------------------------------------------------
+
+# q1 mixes two patterns with a literal; q2 pins per-query grouping and a
+# pattern whose expansion set is smaller than the cap
+WILDCARD_QUERIES = [("q1", "qu* join s*"), ("q2", "window batc*")]
+WILDCARD_MAX_EXP = 4  # small enough that the df-ranked cap bites on 's*'
+
+ORACLE_WILDCARD = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM doc_tf GROUP BY term
+),
+praw AS (
+  SELECT * FROM (VALUES ('q1', 'qu'), ('q1', 's'), ('q2', 'batc'))
+  AS v(query_id, pat)
+),
+lraw AS (
+  SELECT * FROM (VALUES ('q1', 'join'), ('q2', 'window'))
+  AS v(query_id, term)
+),
+pexp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, p.pat, v.term,
+           row_number() OVER (
+             PARTITION BY p.query_id, p.pat ORDER BY v.df DESC, v.term ASC
+           ) AS rn
+    FROM praw p JOIN vocab v ON substring(v.term, 1, length(p.pat)) = p.pat
+  ) WHERE rn <= {WILDCARD_MAX_EXP}
+),
+qexp AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, term FROM pexp UNION ALL SELECT query_id, term FROM lraw)
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT term FROM qexp) GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM tdf
+),
+scored AS (
+  SELECT e.query_id, dt.doc_id,
+         sum(i.idf * (dt.tf * {_K1P1}) /
+             (dt.tf + {K1} * ({_1MB} + {B} * (dl.doc_length / s.avg_doc_length)))) AS bm25
+  FROM qexp e
+  JOIN doc_tf dt ON dt.term = e.term
+  JOIN idf i ON i.term = e.term
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(bm25, 6) DESC, doc_id ASC
+         )::INT AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register("wildcard_topk", ORACLE_WILDCARD)
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-* prefix queries: each pattern expands to its top
+    WILDCARD_MAX_EXP vocabulary terms by (df desc, term asc) — Lucene's
+    top-terms rewrite cap — and the literal+expansion union scores as a
+    plain BM25 disjunction (multiplicity 1, own idf per term)."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(WILDCARD_QUERIES, "query_id string, text string")
+    out = retrieval_plus.wildcard_topk(
+        docs, queries, k=1000, max_expansions=WILDCARD_MAX_EXP
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    return (
+        out.select("query_id", "doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@register("wildcard_topk_from_index", ORACLE_WILDCARD)
+def q_wildcard_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_cat(spark, sf_dir)
+    queries = spark.createDataFrame(WILDCARD_QUERIES, "query_id string, text string")
+    out = retrieval_plus.wildcard_topk_from_index(
+        cat, queries, k=1000, max_expansions=WILDCARD_MAX_EXP
+    )
+    ranked = out.select(
+        "query_id", _doc_long().alias("doc_id"), _r("bm25").alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

@@ -1554,3 +1554,106 @@ def similar_docs_from_index(
             F.col("src_doc_id").alias("src_id"), "doc_id", "cosine", "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wildcard (trailing-*) prefix queries — Lucene PrefixQuery analog
+# ---------------------------------------------------------------------------
+
+
+def wildcard_term_matches(
+    vocab: DataFrame, patterns: DataFrame, max_expansions: int = 64
+) -> DataFrame:
+    """(query_id, term): vocabulary expansions of trailing-* prefixes.
+
+    ``vocab`` is (term, df); ``patterns`` is (query_id, pattern) with the
+    '*' already stripped. Each pattern expands to its top
+    ``max_expansions`` matching terms by (df desc, term asc) — Lucene's
+    TopTermsBlendedFreqScoringRewrite cap, which keeps a head pattern
+    like 's*' from turning into a million-term disjunction at real
+    vocabulary sizes. The probe is a broadcast join against the tiny
+    pattern side keyed on substring(term, 1, len(pattern)), same shape
+    as suggest_terms."""
+    pats = patterns.select(
+        "query_id",
+        F.col("pattern").alias("_pat"),
+        F.length("pattern").alias("_plen"),
+    )
+    w = Window.partitionBy("query_id", "_pat").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    return (
+        vocab.join(
+            F.broadcast(pats),
+            F.expr("substring(term, 1, _plen)") == F.col("_pat"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+    )
+
+
+def _split_wildcards(queries: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Query tokens -> (literal (query_id, term), pattern (query_id,
+    pattern)) relations; a pattern is a token with a trailing '*' and a
+    non-empty prefix (a bare '*' is dropped, matching nothing)."""
+    occ = scorer.query_term_occurrences(queries)
+    is_pat = F.col("term").endswith("*") & (F.length("term") > 1)
+    lits = occ.filter(~F.col("term").endswith("*")).select("query_id", "term")
+    pats = occ.filter(is_pat).select(
+        "query_id",
+        F.expr("substring(term, 1, length(term) - 1)").alias("pattern"),
+    )
+    return lits.distinct(), pats.distinct()
+
+
+def wildcard_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    max_expansions: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k for queries mixing literal terms and trailing-*
+    prefix patterns ('qu* join s*').
+
+    Patterns expand against the corpus vocabulary
+    (``wildcard_term_matches``); the union of literals and expansions is
+    deduplicated (each term scores with multiplicity 1 and its OWN idf —
+    the fuzzy_topk convention) and ranked through the unchanged exact
+    BM25 path. Patterns with no vocabulary match and literals absent
+    from the corpus drop out via the standard missing-idf skip."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    vocab = dtf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    lits, pats = _split_wildcards(queries)
+    expanded = wildcard_term_matches(vocab, pats, max_expansions)
+    wq = (
+        lits.unionByName(expanded)
+        .groupBy("query_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias("text"))
+    )
+    scored = scorer.score_candidates(dtf, dlen, scorer.corpus_stats(dlen), wq)
+    return scorer.topk(scored.select("query_id", "doc_id", "bm25"), k)
+
+
+def wildcard_topk_from_index(
+    cat, queries: DataFrame, k: int = 20, max_expansions: int = 64
+) -> DataFrame:
+    """Index-served wildcard retrieval: expansion probes the PERSISTED
+    (term, df) dictionary — zero query-time vocabulary aggregation — and
+    the expanded disjunction scores through the pruned-postings exact
+    path. Output matches query_exact.rank_from_index."""
+    from .query_exact import rank_from_index
+
+    lits, pats = _split_wildcards(queries)
+    expanded = wildcard_term_matches(
+        cat.terms().select("term", "df"), pats, max_expansions
+    )
+    wq = (
+        lits.unionByName(expanded)
+        .groupBy("query_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias("text"))
+    )
+    return rank_from_index(cat, wq, k=k)

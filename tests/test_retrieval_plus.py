@@ -851,3 +851,62 @@ def test_similar_docs_from_index_equals_raw(spark, corpus, tmp_path):
         for r in rp.similar_docs_from_index(cat, srcs, k=10).collect()
     }
     assert idx2 == raw
+
+
+# ---------------------------------------------------------------------------
+# wildcard (trailing-*) prefix queries
+# ---------------------------------------------------------------------------
+
+WILD_DOCS = [
+    ("d1", "table tablet tabulate join"),
+    ("d2", "table table join"),
+    ("d3", "tablet zebra"),
+    ("d4", "zebra zoo"),
+]
+
+
+def test_wildcard_expansion_cap_by_df(spark):
+    docs = spark.createDataFrame(WILD_DOCS, "doc_id string, text string")
+    vocab = scorer.doc_term_frequencies(docs).groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    pats = spark.createDataFrame([("q1", "ta")], "query_id string, pattern string")
+    # df: table=2, tablet=2, tabulate=1 -> cap 2 keeps (table, tablet)
+    got = {
+        r["term"]
+        for r in rp.wildcard_term_matches(
+            vocab, pats, max_expansions=2
+        ).collect()
+    }
+    assert got == {"table", "tablet"}
+
+
+def test_wildcard_topk_equals_expanded_literal_query(spark):
+    docs = spark.createDataFrame(WILD_DOCS, "doc_id string, text string")
+    qs = spark.createDataFrame([("q1", "ta* join")], "query_id string, text string")
+    got = rp.wildcard_topk(docs, qs, k=10).select(
+        "query_id", "doc_id", F.round("bm25", 9).alias("bm25")
+    )
+    # full expansion of ta* = {table, tablet, tabulate}; multiplicity-1
+    # disjunction == scoring the deduped literal query
+    lit = spark.createDataFrame(
+        [("q1", "join table tablet tabulate")], "query_id string, text string"
+    )
+    dlen = scorer.doc_lengths(docs)
+    exp = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen, scorer.corpus_stats(dlen), lit
+    ).select("query_id", "doc_id", F.round("bm25", 9).alias("bm25"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_wildcard_bare_star_and_no_match(spark):
+    docs = spark.createDataFrame(WILD_DOCS, "doc_id string, text string")
+    qs = spark.createDataFrame(
+        [("q1", "* qqq*"), ("q2", "zeb*")], "query_id string, text string"
+    )
+    rows = rp.wildcard_topk(docs, qs, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert "q1" not in by_q  # bare * dropped, qqq* matches nothing
+    assert by_q["q2"] == {"d3", "d4"}
