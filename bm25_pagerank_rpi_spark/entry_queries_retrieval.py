@@ -988,3 +988,132 @@ def q_wildcard_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio explicit relevance feedback
+# ---------------------------------------------------------------------------
+
+# judged sets are literal doc ids so the oracle replays them; q1 reuses the
+# reference query (dup term -> q_tf=2, absent term -> dropped by idf join)
+ROCCHIO_QRELS = [
+    ("q1", 5, 1), ("q1", 42, 1), ("q1", 99, 1), ("q1", 7, 0), ("q1", 13, 0),
+    ("q2", 12, 1), ("q2", 200, 1), ("q2", 3, 0),
+]
+ROCCHIO_QUERIES = [
+    ("q1", "key value hash join table table spark zzzabsent"),
+    ("q2", "merge sort window"),
+]
+# q_tf per (query_id, term), written out so the oracle needs no tokenizer
+_ROCCHIO_QTF = """
+  SELECT * FROM (VALUES
+    ('q1', 'key', 1.0), ('q1', 'value', 1.0), ('q1', 'hash', 1.0),
+    ('q1', 'join', 1.0), ('q1', 'table', 2.0), ('q1', 'spark', 1.0),
+    ('q1', 'zzzabsent', 1.0),
+    ('q2', 'merge', 1.0), ('q2', 'sort', 1.0), ('q2', 'window', 1.0)
+  ) AS v(query_id, term, q_tf)
+"""
+
+ORACLE_ROCCHIO = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qtf AS ({_ROCCHIO_QTF}),
+qrels AS (
+  SELECT * FROM (VALUES
+    ('q1', 5, 1), ('q1', 42, 1), ('q1', 99, 1), ('q1', 7, 0), ('q1', 13, 0),
+    ('q2', 12, 1), ('q2', 200, 1), ('q2', 3, 0)
+  ) AS v(query_id, doc_id, label)
+),
+sizes AS (
+  SELECT query_id,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_rel,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_nonrel
+  FROM qrels GROUP BY query_id
+),
+fb AS (
+  SELECT r.query_id, dt.term,
+         sum(CASE WHEN r.label = 1 THEN dt.tf ELSE 0 END)::DOUBLE AS rel_tf,
+         sum(CASE WHEN r.label = 0 THEN dt.tf ELSE 0 END)::DOUBLE AS nonrel_tf
+  FROM qrels r JOIN doc_tf dt ON dt.doc_id = r.doc_id
+  GROUP BY r.query_id, dt.term
+),
+vec AS (
+  SELECT coalesce(q.query_id, f.query_id) AS query_id,
+         coalesce(q.term, f.term) AS term,
+         1.0 * coalesce(q.q_tf, 0)
+         + CASE WHEN s.n_rel > 0
+                THEN 0.75 * coalesce(f.rel_tf, 0) / s.n_rel ELSE 0 END
+         - CASE WHEN s.n_nonrel > 0
+                THEN 0.15 * coalesce(f.nonrel_tf, 0) / s.n_nonrel ELSE 0 END
+         AS tf_part
+  FROM qtf q
+  FULL JOIN fb f ON f.query_id = q.query_id AND f.term = q.term
+  JOIN sizes s ON s.query_id = coalesce(q.query_id, f.query_id)
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM vec) GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM tdf
+),
+wts AS (
+  SELECT query_id, term, w FROM (
+    SELECT v.query_id, v.term, round(v.tf_part * i.idf, 6) AS w,
+           row_number() OVER (
+             PARTITION BY v.query_id
+             ORDER BY round(v.tf_part * i.idf, 6) DESC, v.term ASC
+           ) AS rn
+    FROM vec v JOIN idf i USING (term)
+    WHERE round(v.tf_part * i.idf, 6) > 0
+  ) WHERE rn <= 10
+),
+scored AS (
+  SELECT w.query_id, dt.doc_id,
+         round(sum(w.w * i.idf * (dt.tf * {_K1P1}) /
+             (dt.tf + {K1} * ({_1MB} + {B} * (dl.doc_length / s.avg_doc_length)))), 6) AS score
+  FROM wts w
+  JOIN idf i ON i.term = w.term
+  JOIN doc_tf dt ON dt.term = w.term
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN stats s
+  GROUP BY w.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         )::INT AS rank
+  FROM scored
+) WHERE rank <= 15
+"""
+
+
+@register("rocchio_topk", ORACLE_ROCCHIO)
+def q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit relevance feedback (Rocchio 1971): tf-idf query vector
+    moved toward judged-relevant centroids and away from non-relevant
+    ones, top-10 positive weights re-scored as a weighted BM25
+    disjunction. The PRF pair's explicit-judgment sibling."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(ROCCHIO_QUERIES, "query_id string, text string")
+    qrels = spark.createDataFrame(
+        ROCCHIO_QRELS, "query_id string, doc_id long, label int"
+    )
+    return retrieval_plus.rocchio_topk(docs, queries, qrels, k=15)

@@ -1657,3 +1657,147 @@ def wildcard_topk_from_index(
         .agg(F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias("text"))
     )
     return rank_from_index(cat, wq, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio explicit relevance feedback (Rocchio 1971, SMART)
+# ---------------------------------------------------------------------------
+
+
+def rocchio_weights(
+    doc_tf: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.15,
+    n_terms: int = 10,
+) -> DataFrame:
+    """(query_id, term, w): the top-``n_terms`` positive Rocchio weights.
+
+    Classic tf-idf-space Rocchio: q' = alpha*q + beta*centroid(R) -
+    gamma*centroid(NR) over JUDGED docs (``qrels``: query_id, doc_id,
+    label 1/0). Since tfidf(t,d) = tf * idf(t), the vector factors as
+        w(t) = idf(t) * (alpha*q_tf(t)
+                         + beta * sum_R tf / |R| - gamma * sum_NR tf / |NR|)
+    so idf is computed once per term. Terms absent from the corpus have
+    no idf and drop out (the missing-idf skip). Weights are 6-dp-rounded
+    BEFORE the (w desc, term asc) top-n cut so tie-breaks are portable.
+
+    Scale shape: the judged-doc set is tiny and broadcasts; its term
+    profile is one semi-join against doc_tf, idf covers only
+    query+feedback terms, and the output is <= |queries| * n_terms rows.
+    """
+    q_tf = (
+        scorer.query_term_occurrences(queries)
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("q_tf"))
+    )
+    sizes = (
+        qrels.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n_rel"),
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_nonrel"),
+        )
+    )
+    fb = (
+        doc_tf.join(F.broadcast(qrels), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, F.col("tf")).otherwise(0))
+            .cast("double")
+            .alias("rel_tf"),
+            F.sum(F.when(F.col("label") == 0, F.col("tf")).otherwise(0))
+            .cast("double")
+            .alias("nonrel_tf"),
+        )
+    )
+    vec = (
+        q_tf.join(fb, ["query_id", "term"], "full")
+        .join(F.broadcast(sizes), "query_id", "left")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.lit(alpha) * F.coalesce("q_tf", F.lit(0.0))
+                + F.when(
+                    F.col("n_rel") > 0,
+                    F.lit(beta) * F.coalesce("rel_tf", F.lit(0.0)) / F.col("n_rel"),
+                ).otherwise(F.lit(0.0))
+                - F.when(
+                    F.col("n_nonrel") > 0,
+                    F.lit(gamma)
+                    * F.coalesce("nonrel_tf", F.lit(0.0))
+                    / F.col("n_nonrel"),
+                ).otherwise(F.lit(0.0))
+            ).alias("tf_part"),
+        )
+    )
+    idf = scorer.term_idf(doc_tf, stats, terms=vec.select("term").distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        vec.join(F.broadcast(idf.select("term", "idf")), "term")
+        .select(
+            "query_id",
+            "term",
+            F.round(F.col("tf_part") * F.col("idf"), 6).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_terms)
+        .select("query_id", "term", "w")
+    )
+
+
+def rocchio_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.15,
+    n_terms: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): weighted-BM25 retrieval with the
+    Rocchio-expanded query — each expanded term contributes
+    w(t) * bm25_term(t, d) (the query_language boost semantics with
+    continuous weights). Candidates = docs matching >= 1 expanded term."""
+    dtf = scorer.doc_term_frequencies(docs)
+    dlen = scorer.doc_lengths(docs)
+    stats = scorer.corpus_stats(dlen)
+    wts = rocchio_weights(
+        dtf, stats, queries, qrels, alpha, beta, gamma, n_terms
+    )
+    idf = scorer.term_idf(dtf, stats, terms=wts.select("term").distinct())
+    scored = (
+        wts.join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(dtf, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("w")
+                * F.col("idf")
+                * (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B)
+                        * (F.col("doc_length") / F.col("avg_doc_length"))
+                    )
+                )
+            ).alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

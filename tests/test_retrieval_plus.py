@@ -910,3 +910,67 @@ def test_wildcard_bare_star_and_no_match(spark):
         by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
     assert "q1" not in by_q  # bare * dropped, qqq* matches nothing
     assert by_q["q2"] == {"d3", "d4"}
+
+
+# ---------------------------------------------------------------------------
+# Rocchio explicit relevance feedback
+# ---------------------------------------------------------------------------
+
+ROCCHIO_DOCS = [
+    ("1", "apple banana"),
+    ("2", "apple cherry cherry"),
+    ("3", "durian banana"),
+    ("4", "elderberry"),
+]
+
+
+def _rocchio_inputs(spark, qrels_rows):
+    docs = spark.createDataFrame(ROCCHIO_DOCS, "doc_id string, text string")
+    qs = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id string, doc_id string, label int"
+    )
+    return docs, qs, qrels
+
+
+def test_rocchio_weights_closed_form(spark):
+    import math
+
+    docs, qs, qrels = _rocchio_inputs(
+        spark, [("q1", "2", 1), ("q1", "3", 0)]
+    )
+    dtf = scorer.doc_term_frequencies(docs)
+    dlen = scorer.doc_lengths(docs)
+    stats = scorer.corpus_stats(dlen)
+    got = {
+        r["term"]: r["w"]
+        for r in rp.rocchio_weights(dtf, stats, qs, qrels).collect()
+    }
+    idf = lambda df: math.log(4 / (df + 1))
+    # apple: alpha*1 + beta*tf_in_d2(1)/1 = 1.75, times idf(df=2)
+    assert got["apple"] == round(1.75 * idf(2), 6)
+    # cherry: beta*2/1 = 1.5, times idf(df=1)
+    assert got["cherry"] == round(1.5 * idf(1), 6)
+    # banana: only in the non-relevant doc -> negative -> filtered
+    assert "banana" not in got
+    # durian: gamma-only -> negative -> filtered
+    assert "durian" not in got
+
+
+def test_rocchio_feedback_reaches_expansion_only_docs(spark):
+    docs, qs, qrels = _rocchio_inputs(spark, [("q1", "2", 1)])
+    ranked = rp.rocchio_topk(docs, qs, qrels, k=10).collect()
+    by_doc = {r["doc_id"]: r["rank"] for r in ranked if r["query_id"] == "q1"}
+    # cherry came only from feedback; doc 2 holds apple+cherry -> rank 1
+    assert by_doc["2"] == 1
+    # plain query 'apple' would never reach a cherry-only doc; all docs
+    # matching any expanded term appear
+    assert set(by_doc) == {"1", "2"}
+
+
+def test_rocchio_no_judgments_is_plain_weighted_query(spark):
+    docs, qs, _ = _rocchio_inputs(spark, [("qX", "1", 1)])
+    empty_qrels = spark.createDataFrame([], "query_id string, doc_id string, label int")
+    ranked = rp.rocchio_topk(docs, qs, empty_qrels, k=10).collect()
+    docs_hit = {r["doc_id"] for r in ranked}
+    assert docs_hit == {"1", "2"}  # the apple docs, ranked by w*bm25
