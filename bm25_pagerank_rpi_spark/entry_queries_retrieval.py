@@ -1117,3 +1117,39 @@ def q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROCCHIO_QRELS, "query_id string, doc_id long, label int"
     )
     return retrieval_plus.rocchio_topk(docs, queries, qrels, k=15)
+
+
+# ---------------------------------------------------------------------------
+# search_after pagination
+# ---------------------------------------------------------------------------
+
+ORACLE_SEARCH_AFTER = SQL_SKELETON + """
+SELECT doc_id, bm25, (rank - 5)::INT AS rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+  FROM perdoc
+) WHERE rank BETWEEN 6 AND 10
+"""
+
+
+@register("search_after_page2", ORACLE_SEARCH_AFTER)
+def q_search_after_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging via a (score, doc_id) cursor: page 2 of size 5 must
+    equal ranks 6-10 of the full ranking. The cursor is the collected
+    last hit of page 1 (a bounded 1-row planning collect — exactly what
+    a paging client round-trips)."""
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark),
+    ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    last = scorer.topk(sc, 5).filter(F.col("rank") == 5).collect()[0]
+    cursors = spark.createDataFrame(
+        [("q1", float(last["bm25"]), int(last["doc_id"]))],
+        "query_id string, after_score double, after_doc long",
+    )
+    out = retrieval_plus.search_after_topk(
+        docs, _queries_df(spark), cursors, k=5
+    )
+    return out.select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))

@@ -1801,3 +1801,49 @@ def rocchio_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# search_after pagination (Elasticsearch deep-paging cursor)
+# ---------------------------------------------------------------------------
+
+
+def search_after_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    cursors: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, bm25, rank): the next ``k`` hits strictly after
+    a (score, doc_id) cursor in the engine's total order (bm25 6-dp desc,
+    doc_id asc).
+
+    ``cursors`` is (query_id, after_score, after_doc) — the last hit of
+    the previous page, score already 6-dp rounded; queries without a
+    cursor row page from the top. Unlike offset paging (whose window must
+    rank offset+k rows per query), the cursor predicate is a plain filter
+    on the scored relation — candidates at or above the cursor fall out
+    BEFORE the rank window, so page depth never grows the window input.
+    ``rank`` restarts at 1 within the page."""
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    scored = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs, id_col, text_col),
+        dlen,
+        scorer.corpus_stats(dlen),
+        queries,
+    ).select("query_id", "doc_id", F.round("bm25", 6).alias("bm25"))
+    j = scored.join(F.broadcast(cursors), "query_id", "left")
+    after = (
+        F.col("after_score").isNull()
+        | (F.col("bm25") < F.col("after_score"))
+        | ((F.col("bm25") == F.col("after_score")) & (F.col("doc_id") > F.col("after_doc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        j.filter(after)
+        .select("query_id", "doc_id", "bm25")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

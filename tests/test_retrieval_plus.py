@@ -974,3 +974,46 @@ def test_rocchio_no_judgments_is_plain_weighted_query(spark):
     ranked = rp.rocchio_topk(docs, qs, empty_qrels, k=10).collect()
     docs_hit = {r["doc_id"] for r in ranked}
     assert docs_hit == {"1", "2"}  # the apple docs, ranked by w*bm25
+
+
+# ---------------------------------------------------------------------------
+# search_after pagination
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_pages_tile_the_full_ranking(spark):
+    docs = spark.createDataFrame(
+        [(str(i), "apple " * (i % 5 + 1)) for i in range(1, 20)],
+        "doc_id string, text string",
+    )
+    qs = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen, scorer.corpus_stats(dlen), qs
+    ).select("query_id", "doc_id", F.round("bm25", 6).alias("bm25"))
+    full = scorer.topk(sc, 100).orderBy("rank").collect()
+
+    # page through with cursors of size 4; concatenation == full ranking
+    seen = []
+    cursor = None
+    while True:
+        if cursor is None:
+            cursors = spark.createDataFrame(
+                [], "query_id string, after_score double, after_doc string"
+            )
+        else:
+            cursors = spark.createDataFrame(
+                [("q1", cursor[0], cursor[1])],
+                "query_id string, after_score double, after_doc string",
+            )
+        page = (
+            rp.search_after_topk(docs, qs, cursors, k=4)
+            .orderBy("rank")
+            .collect()
+        )
+        if not page:
+            break
+        seen.extend((r["doc_id"], r["bm25"]) for r in page)
+        cursor = (float(page[-1]["bm25"]), page[-1]["doc_id"])
+        assert [r["rank"] for r in page] == list(range(1, len(page) + 1))
+    assert seen == [(r["doc_id"], r["bm25"]) for r in full]
