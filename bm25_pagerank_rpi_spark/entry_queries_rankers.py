@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import B, K1
 from .entry_queries import (
     QUERY_TERMS,
     _docs,
@@ -113,3 +114,110 @@ def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
     scored = ranking_models.lmjm_score(doc_tf, dlen, qs)
     return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Analyzed-field BM25 (lowercase + punctuation strip + stopwords)
+# ---------------------------------------------------------------------------
+
+from .functions.analyzer import STOPWORDS, analyzed_sql, analyzed_tokens_col  # noqa: E402
+from .operators.scorer import topk as _topk  # noqa: E402
+
+# raw query exercises case folding, punctuation splitting ('KEY-value' ->
+# two terms), stopword drops ('The/of/the'), and duplicate multiplicity
+ANALYZED_QUERY_RAW = "The KEY-value, Hash JOIN of the Table... table!"
+
+
+def _analyze_py(text: str) -> list[str]:
+    """Driver-side twin of analyzed_tokens_col (query planning only)."""
+    import re
+
+    toks = re.sub(r"[^a-z0-9 ]+", " ", text.lower()).split()
+    return [t for t in toks if t not in STOPWORDS]
+
+
+_AQ_TERMS = _analyze_py(ANALYZED_QUERY_RAW)
+
+ORACLE_ANALYZED = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({analyzed_sql("text")}) AS t(term)
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+tok_len AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+),
+doc_len AS (
+  SELECT d.doc_id, coalesce(l.n, 0) AS doc_length
+  FROM documents d LEFT JOIN tok_len l USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qterms AS (
+  SELECT * FROM (VALUES {_qterms_values(_AQ_TERMS)}) AS v(pos, term)
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY term
+),
+idf AS (
+  SELECT term, df, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM term_df
+),
+cand AS (
+  SELECT DISTINCT doc_tf.doc_id
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+),
+occ AS (
+  SELECT q.pos, q.term, c.doc_id, dt.tf, i.idf, dl.doc_length, s.avg_doc_length
+  FROM qterms q
+  CROSS JOIN cand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  LEFT JOIN idf i ON i.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id,
+    sum(CASE WHEN tf IS NOT NULL AND idf IS NOT NULL
+        THEN idf * (tf * {K1 + 1.0}) /
+             (tf + {K1} * ({1.0 - B} + {B} * (doc_length / avg_doc_length)))
+        ELSE 0.0 END) AS bm25
+  FROM occ GROUP BY doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+"""
+
+
+@register("bm25_topk_analyzed", ORACLE_ANALYZED)
+def q_bm25_topk_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over ANALYZED fields (functions/analyzer.py): the analyzer
+    runs symmetrically on documents (analyzed doc_tf / doc_length) and
+    on the query (driver-side twin, then the standard occurrence
+    semantics — duplicate surviving terms keep multiplicity)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(analyzed_tokens_col("text")).alias("term")
+    )
+    dtf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+    dlen = docs.select(
+        "doc_id", F.size(analyzed_tokens_col("text")).alias("doc_length")
+    )
+    qs = spark.createDataFrame(
+        [("q1", " ".join(_AQ_TERMS))], "query_id string, text string"
+    )
+    sc = scorer.score_candidates(dtf, dlen, scorer.corpus_stats(dlen), qs)
+    ranked = _topk(
+        sc.select("query_id", "doc_id", F.round("bm25", 6).alias("bm25")), 20
+    )
+    return ranked.select("doc_id", "bm25", "rank")

@@ -57,3 +57,60 @@ def test_udf_tokenize(spark):
     rows = df.select("i", tokenize_udf("text").alias("toks")).orderBy("i").collect()
     for (text, expected), row in zip(CASES, rows):
         assert list(row.toks) == expected, f"pandas-udf mismatch on {text!r}"
+
+
+# ---------------------------------------------------------------------------
+# analyzer chain (functions/analyzer.py)
+# ---------------------------------------------------------------------------
+
+
+def test_analyzer_chain(spark):
+    from pyspark.sql import functions as F
+
+    from bm25_pagerank_rpi_spark.functions.analyzer import analyzed_tokens_col
+
+    rows = [
+        ("d1", "The KEY-value, Hash JOIN of the Table... table!"),
+        ("d2", "  "),
+        ("d3", "A B C 123"),
+        ("d4", "the of and"),  # all stopwords -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", analyzed_tokens_col("text").alias("toks")
+        ).collect()
+    }
+    # multiplicity preserved, stopwords dropped, punctuation split, lowercase
+    assert got["d1"] == ["key", "value", "hash", "join", "table", "table"]
+    assert got["d2"] == []
+    assert got["d3"] == ["b", "c", "123"]  # 'a' is a stopword
+    assert got["d4"] == []
+
+
+def test_analyzer_sql_twin_matches(spark):
+    import duckdb
+
+    from bm25_pagerank_rpi_spark.functions.analyzer import (
+        analyzed_sql,
+        analyzed_tokens_col,
+    )
+
+    texts = [
+        "The KEY-value, Hash JOIN of the Table... table!",
+        "MiXeD CaSe punct;;; 42",
+        "",
+        "the",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_out = [
+        r["toks"]
+        for r in df.select(analyzed_tokens_col("text").alias("toks")).collect()
+    ]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(f"SELECT {analyzed_sql('?::VARCHAR')}".replace("?::VARCHAR", "$1::VARCHAR"), [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_out == duck_out
