@@ -1153,3 +1153,92 @@ def q_search_after_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _queries_df(spark), cursors, k=5
     )
     return out.select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Regexp term queries
+# ---------------------------------------------------------------------------
+
+# Java/RE2-common subset only (the PII-pattern portability rule):
+# q1 = dot wildcard + alternation, q2 = class + quantifier
+REGEXP_PATTERNS = [("q1", "ta.le|s(ort|can)"), ("q2", "qu[a-z]+y")]
+
+ORACLE_REGEXP = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM doc_tf GROUP BY term
+),
+praw AS (
+  SELECT * FROM (VALUES ('q1', 'ta.le|s(ort|can)'), ('q2', 'qu[a-z]+y'))
+  AS v(query_id, pat)
+),
+qexp AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT p.query_id, p.pat, v.term,
+           row_number() OVER (
+             PARTITION BY p.query_id, p.pat ORDER BY v.df DESC, v.term ASC
+           ) AS rn
+    FROM praw p JOIN vocab v ON regexp_full_match(v.term, p.pat)
+  ) WHERE rn <= 64
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT term FROM qexp) GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM tdf
+),
+scored AS (
+  SELECT e.query_id, dt.doc_id,
+         sum(i.idf * (dt.tf * {_K1P1}) /
+             (dt.tf + {K1} * ({_1MB} + {B} * (dl.doc_length / s.avg_doc_length)))) AS bm25
+  FROM qexp e
+  JOIN doc_tf dt ON dt.term = e.term
+  JOIN idf i ON i.term = e.term
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(bm25, 6) DESC, doc_id ASC
+         )::INT AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register("regexp_topk", ORACLE_REGEXP)
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term queries: whole-term (anchored) matching against the
+    vocabulary, df-ranked expansion cap, expansion union scored as a
+    BM25 disjunction — wildcard_topk's general-pattern sibling."""
+    docs = _docs(spark, sf_dir)
+    pats = spark.createDataFrame(REGEXP_PATTERNS, "query_id string, pattern string")
+    out = retrieval_plus.regexp_topk(docs, pats, k=1000)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    return (
+        out.select("query_id", "doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

@@ -1847,3 +1847,58 @@ def search_after_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Regexp term queries — Lucene RegexpQuery analog
+# ---------------------------------------------------------------------------
+
+
+def regexp_term_matches(
+    vocab: DataFrame, patterns: DataFrame, max_expansions: int = 64
+) -> DataFrame:
+    """(query_id, term): vocabulary terms whose WHOLE text matches the
+    pattern (Lucene RegexpQuery is implicitly anchored), capped at the
+    top ``max_expansions`` by (df desc, term asc) like the wildcard
+    rewrite. Patterns must stay in the Java/RE2-common regex subset
+    (classes, alternation, quantifiers — no backrefs/lookaround), the
+    same portability rule the PII patterns follow."""
+    pats = patterns.select("query_id", F.col("pattern").alias("_pat"))
+    w = Window.partitionBy("query_id", "_pat").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(pats))
+        .filter(
+            F.regexp_like(
+                F.col("term"), F.concat(F.lit("^("), F.col("_pat"), F.lit(")$"))
+            )
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+    )
+
+
+def regexp_topk(
+    docs: DataFrame,
+    patterns: DataFrame,
+    k: int = 20,
+    max_expansions: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k for regexp term queries: each (query_id, pattern) row
+    expands against the corpus vocabulary and the per-query expansion
+    union scores as a plain BM25 disjunction (multiplicity 1, own idf —
+    the wildcard/fuzzy convention). The vocabulary scan is one agg; the
+    regex probe touches vocab x patterns rows, never postings."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    vocab = dtf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    matched = regexp_term_matches(vocab, patterns, max_expansions)
+    rq = matched.groupBy("query_id").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias("text")
+    )
+    scored = scorer.score_candidates(dtf, dlen, scorer.corpus_stats(dlen), rq)
+    return scorer.topk(scored.select("query_id", "doc_id", "bm25"), k)

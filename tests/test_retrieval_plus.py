@@ -1017,3 +1017,29 @@ def test_search_after_pages_tile_the_full_ranking(spark):
         cursor = (float(page[-1]["bm25"]), page[-1]["doc_id"])
         assert [r["rank"] for r in page] == list(range(1, len(page) + 1))
     assert seen == [(r["doc_id"], r["bm25"]) for r in full]
+
+
+def test_regexp_matches_anchored_and_capped(spark):
+    docs = spark.createDataFrame(WILD_DOCS, "doc_id string, text string")
+    vocab = scorer.doc_term_frequencies(docs).groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    pats = spark.createDataFrame(
+        [("q1", "tab.*"), ("q2", "zeb")], "query_id string, pattern string"
+    )
+    got = {}
+    for r in rp.regexp_term_matches(vocab, pats, max_expansions=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["term"])
+    # df cap: table(2), tablet(2) beat tabulate(1)
+    assert got["q1"] == {"table", "tablet"}
+    # anchored: 'zeb' must NOT partially match 'zebra'
+    assert "q2" not in got
+
+
+def test_regexp_topk_scores_expansion_union(spark):
+    docs = spark.createDataFrame(WILD_DOCS, "doc_id string, text string")
+    pats = spark.createDataFrame(
+        [("q1", "zebra|zoo")], "query_id string, pattern string"
+    )
+    hits = {r["doc_id"] for r in rp.regexp_topk(docs, pats, k=10).collect()}
+    assert hits == {"d3", "d4"}
