@@ -1225,3 +1225,55 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+
+
+@register(
+    "federated_topk",
+    SQL_SKELETON
+    + """
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+""",
+)
+def q_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated search (operators/federated.py): the two parity shards
+    the merge pair builds are queried UNMERGED with global df/doc_count/
+    avgdl reconciliation — same single-corpus oracle as merged_index_topk
+    because MultiReader semantics must be score-identical to the merged
+    union."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators.federated import federated_rank
+    from .plans.index_build import build_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    parity = (
+        F.regexp_extract("conv_id", r"(\d+)", 1).cast("long") * 8
+        + F.col("turn_idx")
+    ) % 2
+    shards = [
+        build_index(
+            spark, t.filter(parity == p),
+            f"/tmp/driver_merge_shard{p}_v1_{tag}", n_buckets=8,
+        )
+        for p in (0, 1)
+    ]
+    out = federated_rank(shards, _queries_df(spark), k=1000)
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"), _r("bm25").alias("bm25")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
+    )

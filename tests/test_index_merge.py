@@ -130,3 +130,62 @@ def test_merge_rejects_overlapping_shards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="share doc_ids"):
         merge_catalogs(spark, [a, b], str(tmp_path / "ab"))
+
+
+# ---------------------------------------------------------------------------
+# federated (unmerged multi-segment) search — operators/federated.py
+# ---------------------------------------------------------------------------
+
+
+def test_federated_matches_fresh_union_build(spark, tmp_path):
+    from bm25_pagerank_rpi_spark.operators.federated import federated_rank
+
+    halves = [ROWS[0::2], ROWS[1::2]]
+    cats = [
+        build_index(
+            spark, _transcripts(spark, h), str(tmp_path / f"fshard{i}"),
+            n_buckets=4,
+        )
+        for i, h in enumerate(halves)
+    ]
+    union_cat = build_index(
+        spark, _transcripts(spark, ROWS), str(tmp_path / "funion"), n_buckets=4
+    )
+    fed = {
+        (r.query_id, r.doc_id): round(r.bm25, 9)
+        for r in federated_rank(cats, _queries(spark), k=10).collect()
+    }
+    assert fed == _topk(union_cat, spark)
+
+
+def test_federated_single_catalog_equals_direct(spark, tmp_path):
+    from bm25_pagerank_rpi_spark.operators.federated import federated_rank
+
+    cat = build_index(
+        spark, _transcripts(spark, ROWS), str(tmp_path / "fsolo"), n_buckets=4
+    )
+    fed = {
+        (r.query_id, r.doc_id): round(r.bm25, 9)
+        for r in federated_rank([cat], _queries(spark), k=10).collect()
+    }
+    assert fed == _topk(cat, spark)
+
+
+def test_federated_respects_segment_tombstones(spark, tmp_path):
+    from bm25_pagerank_rpi_spark.operators.federated import federated_rank
+
+    halves = [ROWS[0::2], ROWS[1::2]]
+    cats = [
+        build_index(
+            spark, _transcripts(spark, h), str(tmp_path / f"fdel{i}"),
+            n_buckets=4,
+        )
+        for i, h in enumerate(halves)
+    ]
+    delete_docs(cats[1], ["c1:1"])  # the table-heavy doc lives in shard 1
+    fed = {
+        r.doc_id
+        for r in federated_rank(cats, _queries(spark), k=10).collect()
+    }
+    assert "c1:1" not in fed
+    assert "c1:0" in fed
