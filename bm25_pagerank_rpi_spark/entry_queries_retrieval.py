@@ -1242,3 +1242,93 @@ def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spell suggestion + percolation
+# ---------------------------------------------------------------------------
+
+SPELL_TERMS = [("s1", "batc"), ("s1", "tabl"), ("s2", "windoq")]
+
+ORACLE_SPELL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+),
+qraw AS (
+  SELECT * FROM (VALUES ('s1', 'batc'), ('s1', 'tabl'), ('s2', 'windoq'))
+  AS v(query_id, qterm)
+),
+m AS (
+  SELECT q.query_id, q.qterm, v.term, levenshtein(q.qterm, v.term) AS dist, v.df
+  FROM qraw q JOIN vocab v ON levenshtein(q.qterm, v.term) <= 1
+)
+SELECT query_id, qterm, term, dist, df, rank FROM (
+  SELECT query_id, qterm, term, dist, df,
+         row_number() OVER (
+           PARTITION BY query_id, qterm
+           ORDER BY dist ASC, df DESC, term ASC
+         )::INT AS rank
+  FROM m
+) WHERE rank <= 5
+"""
+
+
+@register("spell_suggest", ORACLE_SPELL)
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term-suggester: Levenshtein-1 corrections from the vocabulary,
+    ranked (dist asc, df desc, term asc). Candidates via the SymSpell
+    deletion-neighborhood join; oracle brute-forces the distance join."""
+    docs = _docs(spark, sf_dir)
+    terms = spark.createDataFrame(SPELL_TERMS, "query_id string, term string")
+    out = retrieval_plus.spell_suggest(docs, terms, n=5)
+    return out.select(
+        "query_id", "qterm", "term",
+        F.col("dist").cast("int").alias("dist"),
+        "df", F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# stored queries: q_a is a 2-term conjunction, q_b single-term, q_c has an
+# absent term so it can never match
+PERCOLATE_QUERIES = [
+    ("q_a", "hash join"), ("q_b", "window"), ("q_c", "window zzznothere"),
+]
+
+ORACLE_PERCOLATE = """
+WITH doc_terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM (VALUES ('q_a', 'hash join'), ('q_b', 'window'),
+               ('q_c', 'window zzznothere')) AS v(query_id, text),
+       unnest(string_split(text, ' ')) AS t(term)
+),
+need AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+hits AS (
+  SELECT d.doc_id, q.query_id, count(*) AS got
+  FROM doc_terms d JOIN qterms q USING (term)
+  GROUP BY d.doc_id, q.query_id
+)
+SELECT h.doc_id, h.query_id
+FROM hits h JOIN need n USING (query_id)
+WHERE h.got = n.n
+"""
+
+
+@register("percolate_matches", ORACLE_PERCOLATE)
+def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (reverse search): every (doc, stored query) pair where
+    the doc holds ALL the query's terms — the saved-search/alerting
+    primitive over a document stream; the registry broadcasts."""
+    docs = _docs(spark, sf_dir)
+    sq = spark.createDataFrame(PERCOLATE_QUERIES, "query_id string, text string")
+    return retrieval_plus.percolate(docs, sq)

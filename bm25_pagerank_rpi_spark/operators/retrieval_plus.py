@@ -1902,3 +1902,77 @@ def regexp_topk(
     )
     scored = scorer.score_candidates(dtf, dlen, scorer.corpus_stats(dlen), rq)
     return scorer.topk(scored.select("query_id", "doc_id", "bm25"), k)
+
+
+# ---------------------------------------------------------------------------
+# Spell suggestion (ES term suggester) and percolation (reverse search)
+# ---------------------------------------------------------------------------
+
+
+def spell_suggest(
+    docs: DataFrame,
+    terms: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, qterm, term, dist, df, rank): top-n corrections of each
+    input term from the corpus vocabulary — candidates within Levenshtein
+    1 via the SymSpell deletion-neighborhood join (fuzzy_term_matches),
+    ranked the way term suggesters do: closer first, then more frequent,
+    then lexicographic. Exact matches rank first (dist 0) — callers
+    typically suggest only when the input term itself has low/zero df."""
+    vocab = (
+        scorer.doc_term_frequencies(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    m = fuzzy_term_matches(vocab.select("term"), terms)
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        m.join(vocab, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "qterm", "term", "dist", "df", "rank")
+    )
+
+
+def percolate(
+    docs: DataFrame,
+    stored_queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, query_id): which STORED queries match each incoming doc —
+    Elasticsearch's percolator, the alerting/routing primitive (saved
+    searches over a document stream). Match semantics: conjunctive —
+    every distinct term of the stored query occurs in the doc.
+
+    Scale shape: the stored-query registry is bounded (it broadcasts);
+    incoming docs contribute their DISTINCT terms once; the (doc, query)
+    match count aggregates with map-side combine. Works identically on a
+    micro-batch of a streaming ingest (docs = the batch)."""
+    qterms = (
+        scorer.query_term_occurrences(stored_queries)
+        .select("query_id", "term")
+        .distinct()
+    )
+    need = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_need"))
+    doc_terms = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+        )
+    )
+    hits = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("_got"))
+    )
+    return (
+        hits.join(F.broadcast(need), "query_id")
+        .filter(F.col("_got") == F.col("_need"))
+        .select("doc_id", "query_id")
+    )

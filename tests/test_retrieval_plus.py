@@ -1043,3 +1043,29 @@ def test_regexp_topk_scores_expansion_union(spark):
     )
     hits = {r["doc_id"] for r in rp.regexp_topk(docs, pats, k=10).collect()}
     assert hits == {"d3", "d4"}
+
+
+def test_spell_suggest_ranking(spark):
+    docs = spark.createDataFrame(
+        [("1", "tables tables tabled"), ("2", "tables stables"), ("3", "tabled")],
+        "doc_id string, text string",
+    )
+    terms = spark.createDataFrame([("s", "tables")], "query_id string, term string")
+    rows = rp.spell_suggest(docs, terms, n=3).orderBy("rank").collect()
+    # exact match first (dist 0), then dist-1 ties broken by df desc
+    assert [(r["term"], r["dist"]) for r in rows] == [
+        ("tables", 0), ("tabled", 1), ("stables", 1),
+    ]
+
+
+def test_percolate_conjunctive_semantics(spark):
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "alpha alpha"), ("d3", "beta")],
+        "doc_id string, text string",
+    )
+    sq = spark.createDataFrame(
+        [("qa", "alpha beta"), ("qb", "alpha"), ("qc", "alpha zzz")],
+        "query_id string, text string",
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in rp.percolate(docs, sq).collect()}
+    assert got == {("d1", "qa"), ("d1", "qb"), ("d2", "qb")}
