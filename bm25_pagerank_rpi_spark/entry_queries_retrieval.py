@@ -1332,3 +1332,98 @@ def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sq = spark.createDataFrame(PERCOLATE_QUERIES, "query_id string, text string")
     return retrieval_plus.percolate(docs, sq)
+
+
+# ---------------------------------------------------------------------------
+# Query-time synonym expansion
+# ---------------------------------------------------------------------------
+
+SYNONYMS = [
+    ("hash", "digest"), ("digest", "hash"),
+    ("join", "merge"), ("merge", "join"),
+    ("window", "frame"), ("frame", "window"),
+]
+SYNONYM_QUERIES = [("q1", "hash join"), ("q2", "window")]
+
+ORACLE_SYNONYM = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qraw AS (
+  SELECT DISTINCT query_id, t.term
+  FROM (VALUES ('q1', 'hash join'), ('q2', 'window')) AS v(query_id, text),
+       unnest(string_split(text, ' ')) AS t(term)
+),
+syns AS (
+  SELECT * FROM (VALUES
+    ('hash', 'digest'), ('digest', 'hash'),
+    ('join', 'merge'), ('merge', 'join'),
+    ('window', 'frame'), ('frame', 'window')
+  ) AS v(term, syn)
+),
+qexp AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qraw
+    UNION ALL
+    SELECT q.query_id, s.syn AS term FROM qraw q JOIN syns s USING (term)
+  )
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT term FROM qexp) GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM tdf
+),
+scored AS (
+  SELECT e.query_id, dt.doc_id,
+         sum(i.idf * (dt.tf * {_K1P1}) /
+             (dt.tf + {K1} * ({_1MB} + {B} * (dl.doc_length / s.avg_doc_length)))) AS bm25
+  FROM qexp e
+  JOIN doc_tf dt ON dt.term = e.term
+  JOIN idf i ON i.term = e.term
+  JOIN doc_len dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(bm25, 6) DESC, doc_id ASC
+         )::INT AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register("synonym_topk", ORACLE_SYNONYM)
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side synonym expansion over a broadcast thesaurus; the
+    expanded union scores as a multiplicity-1 BM25 disjunction."""
+    docs = _docs(spark, sf_dir)
+    qs = spark.createDataFrame(SYNONYM_QUERIES, "query_id string, text string")
+    syns = spark.createDataFrame(SYNONYMS, "term string, syn string")
+    out = retrieval_plus.synonym_topk(docs, qs, syns, k=1000)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bm25", 6)), F.asc("doc_id")
+    )
+    return (
+        out.select("query_id", "doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

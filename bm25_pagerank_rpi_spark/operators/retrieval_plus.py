@@ -1976,3 +1976,42 @@ def percolate(
         .filter(F.col("_got") == F.col("_need"))
         .select("doc_id", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-time synonym expansion (Lucene SynonymGraphFilter, query side)
+# ---------------------------------------------------------------------------
+
+
+def synonym_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k with query-side synonym expansion: every query term
+    pulls in its synonym-group siblings (``synonyms``: (term, syn) rows,
+    direction as given — pass both directions for symmetric thesauri),
+    and the union scores as a multiplicity-1 disjunction with each term's
+    own idf (the fuzzy/wildcard expansion convention; Lucene's query-time
+    SynonymQuery differs only in blending df across the group).
+
+    The thesaurus is vocabulary-shaped — it broadcasts; expansion never
+    touches postings."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    qterms = (
+        scorer.query_term_occurrences(queries).select("query_id", "term").distinct()
+    )
+    expanded = qterms.unionByName(
+        qterms.join(F.broadcast(synonyms), "term").select(
+            "query_id", F.col("syn").alias("term")
+        )
+    )
+    sq = expanded.groupBy("query_id").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias("text")
+    )
+    scored = scorer.score_candidates(dtf, dlen, scorer.corpus_stats(dlen), sq)
+    return scorer.topk(scored.select("query_id", "doc_id", "bm25"), k)

@@ -1069,3 +1069,20 @@ def test_percolate_conjunctive_semantics(spark):
     )
     got = {(r["doc_id"], r["query_id"]) for r in rp.percolate(docs, sq).collect()}
     assert got == {("d1", "qa"), ("d1", "qb"), ("d2", "qb")}
+
+
+def test_synonym_expansion_reaches_synonym_only_docs(spark):
+    docs = spark.createDataFrame(
+        [("d1", "car fast"), ("d2", "automobile slow"), ("d3", "bike")],
+        "doc_id string, text string",
+    )
+    qs = spark.createDataFrame([("q1", "car")], "query_id string, text string")
+    syns = spark.createDataFrame(
+        [("car", "automobile"), ("automobile", "car")], "term string, syn string"
+    )
+    hits = {r["doc_id"] for r in rp.synonym_topk(docs, qs, syns, k=10).collect()}
+    assert hits == {"d1", "d2"}
+    # empty thesaurus degrades to plain BM25 candidates
+    empty = spark.createDataFrame([], "term string, syn string")
+    hits0 = {r["doc_id"] for r in rp.synonym_topk(docs, qs, empty, k=10).collect()}
+    assert hits0 == {"d1"}
