@@ -181,3 +181,60 @@ def test_sessionized_stats_streaming_matches_batch(spark, tmp_path):
     key = lambda r: (r.user_id, r.session_start)  # noqa: E731
     real = lambda rs: sorted(key(r) for r in rs if r.user_id != 99)  # noqa: E731
     assert real(out) == real(batch)
+
+
+# ---------------------------------------------------------------------------
+# streaming percolation: saved searches over a live document stream
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_percolate_batches(spark, tmp_path):
+    """percolate() works unchanged per micro-batch inside foreachBatch —
+    the alerting deployment shape (stored queries broadcast; each batch
+    contributes its own matches; checkpoint resume is foreachBatch's)."""
+    from bm25_pagerank_rpi_spark.operators.retrieval_plus import percolate
+
+    in_dir = str(tmp_path / "perc_in")
+    ckpt = str(tmp_path / "perc_ckpt")
+    sq = spark.createDataFrame(
+        [("alert_hash_join", "hash join"), ("alert_window", "window")],
+        "query_id string, text string",
+    )
+    _write(spark, in_dir, [
+        ("c0", 0, "user", "hash join plan", "none", _ts(0)),
+        ("c0", 1, "user", "window frame", "none", _ts(1)),
+    ])
+    matches = []
+
+    def handle(batch, _bid):
+        docs = batch.selectExpr(
+            "concat(conv_id, ':', turn_idx) AS doc_id", "text"
+        )
+        matches.extend(
+            (r["doc_id"], r["query_id"]) for r in percolate(docs, sq).collect()
+        )
+
+    def run():
+        q = (
+            stream_transcripts(spark, in_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert set(matches) == {
+        ("c0:0", "alert_hash_join"), ("c0:1", "alert_window"),
+    }
+    # second batch: only NEW docs are percolated (checkpoint advanced)
+    matches.clear()
+    _write(spark, in_dir, [
+        ("c1", 0, "user", "join only", "none", _ts(2)),
+        ("c1", 1, "user", "hash join window", "none", _ts(3)),
+    ])
+    run()
+    assert set(matches) == {
+        ("c1:1", "alert_hash_join"), ("c1:1", "alert_window"),
+    }
