@@ -1166,6 +1166,7 @@ from . import entry_queries_sketches  # noqa: E402,F401
 
 _DRIVER_UNSEEN_FIRST = [
     # round-4.5 additions: never in any CORRECTNESS_r*.json
+    "ordered_span_topk",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",
@@ -1297,4 +1298,68 @@ def q_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # re-run after the registrations above this point (the first call fires
 # before late-in-module pairs like federated_topk exist)
+_reorder_registry()
+
+
+# ---------------------------------------------------------------------------
+# Ordered span (span_near in_order=true): the same sweep relation as the
+# proximity pair, but the DP runs in sequence order — oracle cascades one
+# window pass per sequence element (s_j = max of s_{j-1} over strictly
+# earlier rows, taken on term==terms[j] rows).
+# ---------------------------------------------------------------------------
+
+ORACLE_ORDERED_SPAN = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, g.i - 1 AS pos, t[g.i] AS term
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+  WHERE t[g.i] IN ('hash', 'join', 'table')
+),
+c0 AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN term = 'hash' THEN pos END AS s
+  FROM pos
+),
+c1 AS (
+  SELECT doc_id, pos, term, CASE WHEN term = 'join' THEN p END AS s
+  FROM (
+    SELECT doc_id, pos, term,
+           max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p
+    FROM c0
+  )
+),
+c2 AS (
+  SELECT doc_id, pos, term, CASE WHEN term = 'table' THEN p END AS s
+  FROM (
+    SELECT doc_id, pos, term,
+           max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p
+    FROM c1
+  )
+),
+m AS (
+  SELECT doc_id, min(pos - s + 1)::INT AS min_span
+  FROM c2 WHERE s IS NOT NULL GROUP BY doc_id
+)
+SELECT doc_id, min_span, rank FROM (
+  SELECT doc_id, min_span,
+         row_number() OVER (ORDER BY min_span ASC, doc_id ASC)::INT AS rank
+  FROM m WHERE min_span <= {_PROX_WINDOW}
+) WHERE rank <= 20
+"""
+
+
+@register("ordered_span_topk", ORACLE_ORDERED_SPAN)
+def q_ordered_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import phrase
+
+    return phrase.ordered_span_topk(
+        _docs(spark, sf_dir), PROX_TERMS, window=_PROX_WINDOW, k=20
+    )
+
+
 _reorder_registry()

@@ -313,3 +313,85 @@ def _rank_spans(spans: DataFrame, window: int, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "min_span", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered span (Lucene span_near in_order=true)
+# ---------------------------------------------------------------------------
+
+
+def _min_ordered_span(rel: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, min_span) over a (doc_id, term, pos) relation: length of
+    the shortest window containing the terms IN SEQUENCE ORDER (strictly
+    increasing positions; duplicate terms in the sequence need distinct
+    occurrences).
+
+    Dynamic program as cascaded window passes: s_j(p) = the latest start
+    of an ordered match of terms[0..j] ending at p = max of s_{j-1} over
+    strictly-earlier rows, taken only on term==terms[j] rows. len(terms)
+    window passes, each over the query terms' occurrence rows only —
+    same query-bounded per-doc row count as the unordered sweep."""
+    if not terms:
+        raise ValueError("ordered-span query needs at least one term")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = rel.withColumn(
+        "_s", F.when(F.col("term") == terms[0], F.col("pos"))
+    )
+    for j in range(1, len(terms)):
+        df = df.withColumn("_p", F.max("_s").over(w_prev)).withColumn(
+            "_s", F.when(F.col("term") == terms[j], F.col("_p"))
+        )
+    return (
+        df.filter(F.col("_s").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min(F.col("pos") - F.col("_s") + 1).cast("int").alias("min_span"))
+    )
+
+
+def ordered_span_topk(
+    docs: DataFrame, terms: list[str], window: int, k: int = 20
+) -> DataFrame:
+    """(doc_id, min_span, rank): docs containing the terms in order
+    within at most ``window`` tokens — the middle ground between exact
+    phrase (adjacent, ordered) and proximity (windowed, unordered)."""
+    toks = tokens_col("text")
+    rel = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).filter(F.col("term").isin(sorted(set(terms))))
+    return _rank_spans(_min_ordered_span(rel, terms), window, k)
+
+
+def ordered_span_topk_from_index(
+    cat: IndexCatalog, terms: list[str], window: int, k: int = 20
+) -> DataFrame:
+    """Ordered span over the positional index — same pruned-postings
+    serving shape as proximity_topk_from_index."""
+    post = cat.postings()
+    if "positions" not in post.columns:
+        raise ValueError(
+            "index has no positions column — rebuild with "
+            "build_index(..., with_positions=True) to serve span queries"
+        )
+    n_buckets = int(cat.read_manifest()["config"]["n_buckets"])
+    distinct = sorted(set(terms))
+    buckets = _buckets_of(cat, distinct, n_buckets)
+    pruned = (
+        post.filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(distinct))
+        .select("term", "doc_int", "positions")
+    )
+    if cat.n_deletes():
+        pruned = pruned.join(F.broadcast(cat.deletes()), "doc_int", "left_anti")
+    rel = pruned.select(
+        F.col("doc_int").alias("doc_id"), "term",
+        F.explode("positions").alias("pos"),
+    )
+    ranked = _rank_spans(
+        _min_ordered_span(rel, terms), window, k
+    ).withColumnRenamed("doc_id", "doc_int")
+    meta = cat.doc_meta().select("doc_int", "doc_id")
+    return ranked.join(meta, "doc_int").select("doc_id", "min_span", "rank")

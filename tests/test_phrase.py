@@ -220,3 +220,72 @@ def test_proximity_index_path_parity(spark, corpus, tmp_path):
     raw = {(r.doc_id, r.min_span) for r in proximity_topk(docs, terms, window=30, k=50).collect()}
     idx = {(r.doc_id, r.min_span) for r in proximity_topk_from_index(cat, terms, window=30, k=50).collect()}
     assert raw == idx
+
+
+def test_ordered_span_closed_form(spark):
+    from bm25_pagerank_rpi_spark.operators.phrase import ordered_span_topk
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a x x b"),            # ordered a..b span 4
+            ("d2", "b a"),                # wrong order -> no match
+            ("d3", "a b x a x x b"),      # best ordered span: a@3,b@6 -> 4? no: a@0,b@1 -> 2
+            ("d4", "b a b"),              # a@1,b@2 -> 2
+            ("d5", "a only"),
+            ("d6", "a a a"),              # missing b
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in ordered_span_topk(docs, ["a", "b"], window=5).collect()
+    }
+    assert set(got) == {"d1", "d3", "d4"}
+    assert got["d1"].min_span == 4
+    assert got["d3"].min_span == 2
+    assert got["d4"].min_span == 2
+    # duplicate sequence elements need DISTINCT occurrences, in order
+    dup = {
+        r.doc_id: r.min_span
+        for r in ordered_span_topk(docs, ["a", "a"], window=5).collect()
+    }
+    assert dup == {"d3": 4, "d6": 2}
+
+
+def test_ordered_span_vs_unordered(spark):
+    from bm25_pagerank_rpi_spark.operators.phrase import (
+        ordered_span_topk,
+        proximity_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "b x a"), ("d2", "a x b")], "doc_id string, text string"
+    )
+    unord = {r.doc_id for r in proximity_topk(docs, ["a", "b"], window=5).collect()}
+    order = {r.doc_id for r in ordered_span_topk(docs, ["a", "b"], window=5).collect()}
+    assert unord == {"d1", "d2"}
+    assert order == {"d2"}
+
+
+def test_ordered_span_index_path_parity(spark, corpus, tmp_path):
+    from bm25_pagerank_rpi_spark.operators.phrase import (
+        ordered_span_topk,
+        ordered_span_topk_from_index,
+    )
+
+    cat = build_index(
+        spark,
+        transcripts_df(spark, corpus),
+        str(tmp_path / "ospan_idx"),
+        n_buckets=4,
+        block_size=8,
+        range_rows=16,
+        with_positions=True,
+    )
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id string, text string"
+    )
+    terms = ["hello,", "world!"]
+    raw = {(r.doc_id, r.min_span) for r in ordered_span_topk(docs, terms, window=30, k=50).collect()}
+    idx = {(r.doc_id, r.min_span) for r in ordered_span_topk_from_index(cat, terms, window=30, k=50).collect()}
+    assert raw == idx
