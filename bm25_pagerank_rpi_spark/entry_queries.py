@@ -1167,6 +1167,7 @@ from . import entry_queries_sketches  # noqa: E402,F401
 _DRIVER_UNSEEN_FIRST = [
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
+    "wand_analyzed_topk",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",

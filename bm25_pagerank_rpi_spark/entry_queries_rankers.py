@@ -221,3 +221,44 @@ def q_bm25_topk_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.select("query_id", "doc_id", F.round("bm25", 6).alias("bm25")), 20
     )
     return ranked.select("doc_id", "bm25", "rank")
+
+
+@register("wand_analyzed_topk", ORACLE_ANALYZED)
+def q_wand_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyzer as a first-class INDEX capability, by composition:
+    analysis is a codegen projection on the build input (text :=
+    rejoined analyzed tokens), after which the unchanged T1 pipeline,
+    block codec, and block-max WAND serve analyzed queries — same
+    oracle as the from-raw analyzed pair, served from the compressed
+    index."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from .operators import wand as wand_mod
+    from .plans.index_build import build_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = synthesize_transcripts(spark, sf_dir, replicas=1).withColumn(
+        "text", F.array_join(analyzed_tokens_col("text"), " ")
+    )
+    cat = build_index(
+        spark, t, f"/tmp/driver_analyzed_index_v1_{tag}", n_buckets=8
+    )
+    qdf = spark.createDataFrame(
+        [("q1", " ".join(_AQ_TERMS))], "query_id string, text string"
+    )
+    out = wand_mod.wand_topk(cat, qdf, k=1000)
+    conv = F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long")
+    turn = F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id_long"))
+    return (
+        out.select(
+            (conv * 8 + turn).alias("doc_id_long"),
+            F.round("bm25", 6).alias("bm25"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
+    )
