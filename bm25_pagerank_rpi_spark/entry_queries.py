@@ -1168,6 +1168,7 @@ _DRIVER_UNSEEN_FIRST = [
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",
+    "weighted_pagerank",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",

@@ -301,3 +301,77 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", _r("authority").alias("authority"), _r("hub").alias("hub")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank: same graph, return-to-root edges carry 3x the mass of
+# forward adjacency — rank distributes proportionally to edge weight
+# (out_deg becomes the weight sum). Same recursive-CTE value oracle with
+# weighted transitions.
+# ---------------------------------------------------------------------------
+
+_W_FWD, _W_ROOT = 1.0, 3.0
+
+SQL_WGRAPH = """
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, {wf} AS w
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id // 8 = b.doc_id // 8
+  UNION ALL
+  SELECT doc_id, (doc_id // 8) * 8, {wr} FROM documents WHERE doc_id % 8 <> 0
+),
+outs AS (
+  SELECT src, list(struct_pack(t := dst, w := w)) AS dsts, sum(w) AS out_w
+  FROM edges GROUP BY src
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+  UNION ALL
+  SELECT iter, (s).t AS node,
+         {base} / (SELECT n FROM nn) + {damping} * sum((s).v) AS rank
+  FROM (
+    SELECT p.iter + 1 AS iter,
+           unnest(list_prepend(struct_pack(t := p.node, v := 0.0),
+             coalesce(list_transform(o.dsts,
+                        x -> struct_pack(t := x.t, v := p.rank * x.w / o.out_w)),
+                      CAST([] AS STRUCT(t BIGINT, v DOUBLE)[])))) AS s
+    FROM pr p LEFT JOIN outs o ON o.src = p.node
+    WHERE p.iter < {iters}
+  )
+  GROUP BY iter, (s).t
+),
+pr_final AS (SELECT node, rank FROM pr WHERE iter = {iters})
+""".format(
+    base=1.0 - DAMPING, damping=DAMPING, iters=ITERS, wf=_W_FWD, wr=_W_ROOT
+)
+
+
+def _weighted_doc_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    nodes, edges_unw = _doc_graph(docs)
+    a = docs.select(F.col("doc_id").alias("src"))
+    b = docs.select(F.col("doc_id").alias("dst"))
+    forward = a.join(
+        b,
+        (F.col("dst") == F.col("src") + 1)
+        & (F.expr("src div 8") == F.expr("dst div 8")),
+    ).withColumn("weight", F.lit(_W_FWD))
+    to_root = docs.filter(F.col("doc_id") % 8 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.expr("doc_id div 8") * 8).alias("dst"),
+    ).withColumn("weight", F.lit(_W_ROOT))
+    return nodes, forward.unionByName(to_root)
+
+
+@register(
+    "weighted_pagerank",
+    f"""
+WITH RECURSIVE {SQL_WGRAPH}
+SELECT node, round(rank, 6) AS pagerank FROM pr_final
+""",
+)
+def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _weighted_doc_graph(_docs(spark, sf_dir))
+    out = pagerank.pagerank(nodes, edges, damping=DAMPING, iterations=ITERS)
+    return out.select("node", _r("pagerank").alias("pagerank"))

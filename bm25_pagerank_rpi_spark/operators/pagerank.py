@@ -125,15 +125,29 @@ def _pagerank_loop(
     if "_init" not in nodes.columns:
         nodes = nodes.withColumn("_init", F.lit(1.0 / n))
     nodes = nodes.repartition(npart, "node").persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # optional edge weights: an edges relation carrying a ``weight`` column
+    # distributes each node's rank proportionally (out_deg becomes the
+    # weight sum). Without one, the expressions below are EXACTLY the
+    # unweighted originals — bit-for-bit, so the recursive-CTE oracles and
+    # parity tests for uniform/personalized PageRank are untouched.
+    weighted = "weight" in edges.columns
+    if weighted:
+        deg = edges.groupBy("src").agg(F.sum("weight").alias("out_deg"))
+    else:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     edeg = edges.join(deg, "src").repartition(npart, "src").persist()
     edeg.count()
 
     ranks = nodes.select("node", F.col("_init").alias("rank"))
     for i in range(iterations):
+        mass = (
+            F.col("rank") * F.col("weight") / F.col("out_deg")
+            if weighted
+            else F.col("rank") / F.col("out_deg")
+        )
         contribs = (
             ranks.join(edeg, ranks.node == edeg.src)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(F.col("dst").alias("node"), mass.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )

@@ -174,3 +174,48 @@ def test_hits_empty_graph(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     got = {r.node: (r.authority, r.hub) for r in hits(nodes, edges, iterations=2).collect()}
     assert got == {1: (0.0, 0.0), 2: (0.0, 0.0)}
+
+
+def test_weighted_pagerank_numpy_parity(spark):
+    import numpy as np
+
+    from bm25_pagerank_rpi_spark.operators.pagerank import pagerank
+
+    # 4-node weighted graph, every node out-degree >= 1
+    edges_w = [
+        ("a", "b", 1.0), ("a", "c", 3.0),
+        ("b", "c", 2.0), ("c", "a", 1.0), ("d", "a", 5.0),
+    ]
+    names = ["a", "b", "c", "d"]
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    edges = spark.createDataFrame(edges_w, "src string, dst string, weight double")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(nodes, edges, damping=0.85, iterations=12).collect()
+    }
+    idx = {n: i for i, n in enumerate(names)}
+    M = np.zeros((4, 4))
+    outw = {}
+    for s, d, w in edges_w:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, d, w in edges_w:
+        M[idx[d], idx[s]] += w / outw[s]
+    r = np.full(4, 0.25)
+    for _ in range(12):
+        r = 0.15 / 4 + 0.85 * (M @ r)
+    for n in names:
+        assert got[n] == pytest.approx(r[idx[n]], abs=1e-12)
+
+
+def test_weight_one_equals_unweighted(spark):
+    from bm25_pagerank_rpi_spark.operators.pagerank import pagerank
+
+    edges_l = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    e_unw = spark.createDataFrame(edges_l, "src string, dst string")
+    e_w1 = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges_l], "src string, dst string, weight double"
+    )
+    unw = {r["node"]: r["pagerank"] for r in pagerank(nodes, e_unw, iterations=8).collect()}
+    w1 = {r["node"]: r["pagerank"] for r in pagerank(nodes, e_w1, iterations=8).collect()}
+    assert unw == w1
