@@ -1169,6 +1169,7 @@ _DRIVER_UNSEEN_FIRST = [
     "ordered_span_topk",
     "wand_analyzed_topk",
     "weighted_pagerank",
+    "trending_terms",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",

@@ -326,3 +326,66 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(doc_id) - min(doc_id) within a conversation)."""
     t = synthesize_transcripts(spark, sf_dir, replicas=1)
     return conversations.conversation_profile(t)
+
+
+# ---------------------------------------------------------------------------
+# Trending terms: top-k terms per event-time window (batch twin of
+# streaming/turn_stats.windowed_term_counts + trending_terms)
+# ---------------------------------------------------------------------------
+
+_TREND_WINDOW_S = 120
+_TREND_K = 5
+
+ORACLE_TRENDING = f"""
+WITH turns AS (
+  SELECT doc_id, text,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + (doc_id // {_TREND_WINDOW_S}) * {_TREND_WINDOW_S} * INTERVAL 1 SECOND
+           AS wstart
+  FROM documents
+),
+tok AS (
+  SELECT wstart, t.term
+  FROM turns, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+wc AS (
+  SELECT wstart, term, count(*) AS n FROM tok GROUP BY wstart, term
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, term, n, rank
+FROM (
+  SELECT wstart, term, n,
+         row_number() OVER (
+           PARTITION BY wstart ORDER BY n DESC, term ASC
+         )::INT AS rank
+  FROM wc
+) WHERE rank <= {_TREND_K}
+"""
+
+
+@register("trending_terms", ORACLE_TRENDING)
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per tumbling event-time window — the batch twin of the
+    streaming windowed_term_counts sink + trending_terms rank (a window's
+    top-k is only defined once the watermark closes it; the oracle
+    reconstructs window starts from ts == epoch + doc_id seconds, and
+    epoch is 120s-aligned so Spark's epoch-aligned window() boundaries
+    coincide)."""
+    from .functions.tokenize import tokens_col
+    from .streaming.turn_stats import trending_terms
+
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    tc = (
+        t.select("ts", F.explode(tokens_col("text")).alias("term"))
+        .groupBy(
+            F.window("ts", f"{_TREND_WINDOW_S} seconds").alias("window"), "term"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = trending_terms(tc, k=_TREND_K)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "term",
+        "n",
+        F.col("rank").cast("int").alias("rank"),
+    )

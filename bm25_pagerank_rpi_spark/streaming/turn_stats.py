@@ -152,3 +152,41 @@ def sessionized_stats(
             key, "session_start", "session_end_ts", "n_events", "sum_value"
         )
     )
+
+
+def windowed_term_counts(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """(window, term, n) — per-window term frequencies over the turn
+    stream: the aggregation half of trending-term detection. Streaming
+    state is (windows in the watermark horizon x distinct terms seen in
+    them); the explode runs map-side, the agg is one keyed shuffle.
+
+    Top-k *within* a window is a rank over a completed window's rows —
+    run :func:`trending_terms` on the sink table (rank windows are not
+    allowed mid-stream because a window's counts keep changing until the
+    watermark closes it; the batch twin IS the semantics once closed)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("ts", F.explode(tokens_col("text")).alias("term"))
+        .groupBy(F.window("ts", window).alias("window"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def trending_terms(term_counts: DataFrame, k: int = 5) -> DataFrame:
+    """(window_start, term, n, rank): top-k terms per closed window by
+    (count desc, term asc) — run over the windowed_term_counts sink (or
+    its batch twin on a static table)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        term_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("window.start").alias("window_start"), "term", "n", "rank"
+        )
+    )

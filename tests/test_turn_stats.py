@@ -238,3 +238,34 @@ def test_streaming_percolate_batches(spark, tmp_path):
     assert set(matches) == {
         ("c1:1", "alert_hash_join"), ("c1:1", "alert_window"),
     }
+
+
+def test_windowed_term_counts_and_trending(spark, tmp_path):
+    from bm25_pagerank_rpi_spark.streaming.turn_stats import (
+        trending_terms,
+        windowed_term_counts,
+    )
+
+    in_dir = str(tmp_path / "trend_in")
+    ckpt = str(tmp_path / "trend_ckpt")
+    _write(spark, in_dir, [
+        ("c0", 0, "user", "alpha alpha beta", "none", _ts(0)),
+        ("c0", 1, "user", "alpha gamma", "none", _ts(1)),
+        ("c1", 0, "user", "beta beta beta", "none", _ts(6)),
+    ])
+    counts = windowed_term_counts(
+        stream_transcripts(spark, in_dir), window="5 minutes", watermark="2 minutes"
+    )
+    rows = _run_until_done(counts, ckpt, "update")
+    got = {(r["window"].start.minute, r["term"]): r["n"] for r in rows}
+    assert got[(0, "alpha")] == 3
+    assert got[(0, "beta")] == 1
+    assert got[(0, "gamma")] == 1
+    assert got[(5, "beta")] == 3
+    # batch rank over the (closed) windows
+    tdf = spark.createDataFrame(
+        [r for r in rows], schema=counts.schema
+    )
+    top = trending_terms(tdf, k=1).collect()
+    by_w = {r["window_start"].minute: r["term"] for r in top}
+    assert by_w == {0: "alpha", 5: "beta"}
