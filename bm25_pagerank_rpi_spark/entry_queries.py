@@ -1170,6 +1170,7 @@ _DRIVER_UNSEEN_FIRST = [
     "wand_analyzed_topk",
     "weighted_pagerank",
     "trending_terms",
+    "collapsed_topk",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",

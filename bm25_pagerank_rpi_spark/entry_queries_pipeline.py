@@ -814,6 +814,9 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver testdata, standing in for a corpus with both text and embeddings.
 # ---------------------------------------------------------------------------
 
+from pyspark.sql import Window  # noqa: E402
+
+from . import B, K1  # noqa: E402
 from .entry_queries import SQL_SKELETON, _queries_df  # noqa: E402
 from .operators import retrieval_plus, scorer  # noqa: E402
 
@@ -1001,4 +1004,101 @@ def q_bpe_piece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.bpe_piece_counts(_docs(spark, sf_dir).select("doc_id", "text"))
     return out.select(
         "doc_id", "n_chars", "n_pieces", _r("chars_per_piece").alias("chars_per_piece")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-collapsed search over the augmented corpus (which contains
+# exact-duplicate clusters by construction): plain BM25 scoring on
+# docs_aug, non-canonical duplicates anti-joined out, ranks re-numbered.
+# ---------------------------------------------------------------------------
+
+_COLLAPSE_QUERY = "key value hash join table table spark zzzabsent"
+_COLLAPSE_QTERMS = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(_COLLAPSE_QUERY.split())
+)
+
+ORACLE_COLLAPSED = f"""
+WITH {SQL_DOCS_AUG},
+toks AS (
+  SELECT doc_id, t.term
+  FROM docs_aug, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM docs_aug
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+hashed AS (SELECT doc_id, {phash_sql('text')} AS h FROM docs_aug),
+grp AS (
+  SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h HAVING count(*) >= 2
+),
+losers AS (
+  SELECT ha.doc_id FROM hashed ha JOIN grp g USING (h)
+  WHERE ha.doc_id <> g.canonical_id
+),
+qterms AS (
+  SELECT * FROM (VALUES {_COLLAPSE_QTERMS}) AS v(pos, term)
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM term_df
+),
+cand AS (
+  SELECT DISTINCT doc_tf.doc_id
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+),
+occ AS (
+  SELECT q.term, c.doc_id, dt.tf, i.idf, dl.doc_length, s.avg_doc_length
+  FROM qterms q
+  CROSS JOIN cand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  LEFT JOIN idf i ON i.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id,
+    sum(CASE WHEN tf IS NOT NULL AND idf IS NOT NULL
+        THEN idf * (tf * {K1 + 1.0}) /
+             (tf + {K1} * ({1.0 - B} + {B} * (doc_length / avg_doc_length)))
+        ELSE 0.0 END) AS bm25
+  FROM occ GROUP BY doc_id
+),
+kept AS (
+  SELECT p.* FROM perdoc p LEFT JOIN losers l USING (doc_id)
+  WHERE l.doc_id IS NULL
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM kept
+) WHERE rank <= 20
+"""
+
+
+@register("collapsed_topk", ORACLE_COLLAPSED)
+def q_collapsed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = spark.createDataFrame(
+        [("q1", _COLLAPSE_QUERY)], "query_id string, text string"
+    )
+    out = retrieval_plus.collapsed_topk(_docs_aug(spark, sf_dir), queries, k=1000)
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id"))
+    return (
+        out.select("doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
     )

@@ -2015,3 +2015,38 @@ def synonym_topk(
     )
     scored = scorer.score_candidates(dtf, dlen, scorer.corpus_stats(dlen), sq)
     return scorer.topk(scored.select("query_id", "doc_id", "bm25"), k)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-collapsed search (field-collapse on content identity)
+# ---------------------------------------------------------------------------
+
+
+def collapsed_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k where exact-content duplicates collapse to their
+    cluster canonical (min doc_id): the search-result face of the dedup
+    family — a corpus crawled at 100 TB serves every page once, not once
+    per mirror. Non-canonical cluster members are removed by ONE
+    left_anti join on the scored relation (content identity via the
+    portable 60-bit hash, operators/dedup.py); ranks re-number over the
+    survivors. Identical scores to plain BM25 for every survivor —
+    collapse filters, never rescores."""
+    from . import dedup
+
+    dups = dedup.exact_duplicates(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+    losers = dups.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    scored = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs, id_col, text_col),
+        dlen,
+        scorer.corpus_stats(dlen),
+        queries,
+    ).select("query_id", "doc_id", "bm25")
+    kept = scored.join(losers, "doc_id", "left_anti")
+    return scorer.topk(kept, k)

@@ -1086,3 +1086,31 @@ def test_synonym_expansion_reaches_synonym_only_docs(spark):
     empty = spark.createDataFrame([], "term string, syn string")
     hits0 = {r["doc_id"] for r in rp.synonym_topk(docs, qs, empty, k=10).collect()}
     assert hits0 == {"d1"}
+
+
+def test_collapsed_topk_keeps_canonicals_only(spark):
+    docs = spark.createDataFrame(
+        [
+            ("1", "apple pie"), ("2", "apple pie"), ("9", "apple pie"),
+            ("3", "apple tart"), ("4", "banana"),
+        ],
+        "doc_id string, text string",
+    )
+    qs = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    rows = rp.collapsed_topk(docs, qs, k=10).collect()
+    hit = {r["doc_id"]: r for r in rows}
+    # cluster {1,2,9} collapses to canonical '1'; '3' unaffected
+    assert set(hit) == {"1", "3"}
+    # collapse filters, never rescores: surviving scores == plain BM25
+    dlen = scorer.doc_lengths(docs)
+    plain = {
+        r["doc_id"]: r["bm25"]
+        for r in scorer.score_candidates(
+            scorer.doc_term_frequencies(docs), dlen,
+            scorer.corpus_stats(dlen), qs,
+        ).collect()
+    }
+    for d, r in hit.items():
+        assert r["bm25"] == plain[d]
+    # ranks re-number densely over survivors
+    assert sorted(r["rank"] for r in rows) == [1, 2]
