@@ -1171,6 +1171,7 @@ _DRIVER_UNSEEN_FIRST = [
     "weighted_pagerank",
     "trending_terms",
     "collapsed_topk",
+    "dedup_containment",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",

@@ -1102,3 +1102,27 @@ def q_collapsed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH {SQL_DOCS_AUG},
+{SQL_TOK_SH},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(containment, 6) AS containment FROM (
+  SELECT i.doc_a, i.doc_b, i.inter::DOUBLE / sa.n_sh AS containment
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+) WHERE containment >= 0.9
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment (directed |A∩B|/|A| over shingle sets): the
+    augmented corpus's truncated docs (prefix removed) are CONTAINED in
+    their originals even when Jaccard sits below threshold."""
+    out = dedup.ngram_containment_pairs(_docs_aug(spark, sf_dir), threshold=0.9)
+    return out.select("doc_a", "doc_b", _r("containment").alias("containment"))

@@ -411,3 +411,48 @@ def dup_span_stats(
             F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.9, n: int = SHINGLE_N,
+    max_shingle_df: int | None = 512,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) for DIRECTED pairs where
+    containment(a in b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| >=
+    threshold — the asymmetric sibling of Jaccard (Broder's containment):
+    catches quotes, excerpts, and doc-inside-doc relations that Jaccard
+    misses when the containing doc is much longer. Both directions are
+    emitted as separate rows (a ≠ b). Same df-capped shared-shingle
+    self-join shape (and skew bound) as ngram_jaccard_pairs; the
+    denominator uses the FULL shingle-set size of the contained side, so
+    capped stop-shingles only shrink scores."""
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    inter = (
+        joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(joinable.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / F.col("na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

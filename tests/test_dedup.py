@@ -205,3 +205,22 @@ def test_dup_span_stats_hashed_parity(spark):
         for r in dedup.dup_span_stats(docs, n=8, hashed=True).collect()
     }
     assert s == h
+
+
+def test_containment_directed(spark):
+    from bm25_pagerank_rpi_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("small", "a b c d e"),                    # shingles fully inside big
+            ("big", "x y a b c d e z w q r s t u v"),  # superset, much longer
+            ("other", "p q r s t"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    # small ⊂ big: containment(small in big) = 1.0; the reverse is far below
+    assert rows == {("small", "big"): 1.0}
