@@ -1172,6 +1172,8 @@ _DRIVER_UNSEEN_FIRST = [
     "trending_terms",
     "collapsed_topk",
     "dedup_containment",
+    "bm25_plus_topk",
+    "bm25l_topk",
     "lmdir_topk",
     "lmjm_topk",
     "kmv_distinct_terms",

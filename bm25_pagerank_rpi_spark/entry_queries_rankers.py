@@ -262,3 +262,100 @@ def q_wand_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select(F.col("doc_id_long").alias("doc_id"), "bm25", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lower-bounded BM25 variants (Lv & Zhai 2011): BM25+ and BM25L
+# ---------------------------------------------------------------------------
+
+_LB_BASE = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM doc_len
+),
+qocc AS (
+  SELECT * FROM (VALUES {_qterms_values(QUERY_TERMS)}) AS v(pos, term)
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qocc) GROUP BY term
+),
+idf AS (
+  SELECT term, ln(CAST((SELECT doc_count FROM stats) AS DOUBLE) / (df + 1)) AS idf
+  FROM tdf
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM doc_tf
+  WHERE term IN (SELECT DISTINCT term FROM qocc)
+),
+occ AS (
+  SELECT q.pos, q.term, c.doc_id, dt.tf, i.idf,
+         dl.doc_length::DOUBLE AS dl, s.avg_doc_length AS avgdl
+  FROM qocc q
+  JOIN idf i USING (term)
+  CROSS JOIN cand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+"""
+
+_LB_TOPK = """
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc
+) WHERE rank <= 20
+"""
+
+ORACLE_BM25_PLUS = _LB_BASE + f"""
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf IS NOT NULL THEN
+             idf * ((tf * {K1 + 1.0}) /
+                    (tf + {K1} * ({1.0 - B} + {B} * (dl / avgdl)))
+                    + {ranking_models.DELTA_PLUS})
+             ELSE 0.0 END) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LB_TOPK
+
+ORACLE_BM25L = _LB_BASE + f"""
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf IS NOT NULL THEN
+             idf * ({K1 + 1.0} * (tf / ({1.0 - B} + {B} * (dl / avgdl))
+                                  + {ranking_models.DELTA_L}))
+                 / ({K1} + tf / ({1.0 - B} + {B} * (dl / avgdl))
+                         + {ranking_models.DELTA_L})
+             ELSE 0.0 END) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LB_TOPK
+
+
+@register("bm25_plus_topk", ORACLE_BM25_PLUS)
+def q_bm25_plus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.bm25_plus_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")
+
+
+@register("bm25l_topk", ORACLE_BM25L)
+def q_bm25l_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.bm25l_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")

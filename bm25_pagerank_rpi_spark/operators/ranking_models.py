@@ -138,3 +138,113 @@ def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lower-bounded BM25 variants (Lv & Zhai 2011, CIKM: "Lower-Bounding Term
+# Frequency Normalization") — the BM25+ / BM25L menu Lucene exposes.
+# ---------------------------------------------------------------------------
+
+DELTA_PLUS = 1.0
+DELTA_L = 0.5
+
+
+def _idf_occ(
+    doc_tf: DataFrame, doc_len: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """(query_id, pos, term, doc_id, tf, dl, avgdl, idf) per (query
+    occurrence x candidate doc), occurrences of idf-less terms dropped —
+    the A7 candidate/multiplicity contract with idf attached."""
+    from .. import B, K1  # noqa: F401  (documented constants live here)
+    from . import scorer as _s
+
+    qocc = _s.query_term_occurrences(queries)
+    qterms = qocc.select("term").distinct()
+    stats = _s.corpus_stats(doc_len)
+    idf = _s.term_idf(doc_tf, stats, terms=qterms)
+    cand = (
+        doc_tf.join(F.broadcast(qocc.select("query_id", "term").distinct()), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return (
+        qocc.join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(cand, "query_id")
+        .join(doc_tf.select("doc_id", "term", "tf"), ["doc_id", "term"], "left")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "pos",
+            "term",
+            F.coalesce("tf", F.lit(0)).cast("double").alias("tf"),
+            F.col("doc_length").cast("double").alias("dl"),
+            F.col("avg_doc_length").alias("avgdl"),
+            "idf",
+        )
+    )
+
+
+def bm25_plus_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+    k1: float | None = None,
+    b: float | None = None,
+    delta: float = DELTA_PLUS,
+) -> DataFrame:
+    """BM25+: matched occurrences gain a flat lower bound delta inside
+    the idf product — contribution = idf * (tf*(k1+1)/(tf + k1*norm) +
+    delta) for tf > 0, exactly 0 for tf = 0 (missing terms score
+    nothing, same as A7). Fixes BM25's over-penalization of long docs."""
+    from .. import B, K1
+
+    k1 = K1 if k1 is None else k1
+    b = B if b is None else b
+    occ = _idf_occ(doc_tf, doc_len, queries)
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    contrib = F.when(
+        F.col("tf") > 0,
+        F.col("idf")
+        * (
+            (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * norm)
+            + F.lit(delta)
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def bm25l_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+    k1: float | None = None,
+    b: float | None = None,
+    delta: float = DELTA_L,
+) -> DataFrame:
+    """BM25L: length-normalize FIRST (c' = tf / norm), then lower-bound —
+    contribution = idf * (k1+1)*(c'+delta) / (k1 + c' + delta) for
+    tf > 0, else 0."""
+    from .. import B, K1
+
+    k1 = K1 if k1 is None else k1
+    b = B if b is None else b
+    occ = _idf_occ(doc_tf, doc_len, queries)
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    cprime = F.col("tf") / norm
+    contrib = F.when(
+        F.col("tf") > 0,
+        F.col("idf")
+        * (F.lit(k1 + 1.0) * (cprime + F.lit(delta)))
+        / (F.lit(k1) + cprime + F.lit(delta)),
+    ).otherwise(F.lit(0.0))
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )

@@ -88,3 +88,53 @@ def test_topk_tiebreak(inputs):
     # rank order == (round(score,6) desc, doc_id asc)
     keys = [(-r["score"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_bm25_variants_match_oracle(inputs):
+    import math
+
+    from bm25_pagerank_rpi_spark import B, K1
+
+    toks = {d: t.split() for d, t in DOCS if t}
+    tf = {}
+    for d, ts in toks.items():
+        tf[d] = {}
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs = len(DOCS)  # empty doc counts toward doc_count/avgdl
+    avgdl = sum(dl.values()) / n_docs
+    qocc = QUERY.split()
+    df = {t: sum(1 for d in tf if t in tf[d]) for t in set(qocc)}
+    cand = {d for d in tf if any(t in tf[d] for t in set(qocc))}
+
+    def idf(t):
+        return math.log(n_docs / (df[t] + 1))
+
+    def plus(d):
+        s = 0.0
+        for t in qocc:
+            if df[t] == 0 or t not in tf[d]:
+                continue
+            f = tf[d][t]
+            norm = 1 - B + B * dl[d] / avgdl
+            s += idf(t) * (f * (K1 + 1) / (f + K1 * norm) + 1.0)
+        return s
+
+    def l_(d):
+        s = 0.0
+        for t in qocc:
+            if df[t] == 0 or t not in tf[d]:
+                continue
+            c = tf[d][t] / (1 - B + B * dl[d] / avgdl)
+            s += idf(t) * ((K1 + 1) * (c + 0.5)) / (K1 + c + 0.5)
+        return s
+
+    from bm25_pagerank_rpi_spark.operators import ranking_models as rm
+
+    got_p = {r["doc_id"]: r["score"] for r in rm.bm25_plus_score(*inputs).collect()}
+    got_l = {r["doc_id"]: r["score"] for r in rm.bm25l_score(*inputs).collect()}
+    assert set(got_p) == cand and set(got_l) == cand
+    for d in cand:
+        assert got_p[d] == pytest.approx(plus(d), abs=1e-12)
+        assert got_l[d] == pytest.approx(l_(d), abs=1e-12)
