@@ -1165,6 +1165,10 @@ from . import entry_queries_sketches  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_UNSEEN_FIRST = [
+    # round-4.6 additions: never in any CORRECTNESS_r*.json
+    "classic_tfidf_topk",
+    "dfi_topk",
+    "pl2_topk",
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",

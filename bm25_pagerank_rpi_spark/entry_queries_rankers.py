@@ -347,6 +347,116 @@ perdoc AS (
 """ + _LB_TOPK
 
 
+# ---------------------------------------------------------------------------
+# Classic TF-IDF / DFI / PL2 (the rest of the Lucene+Terrier similarity menu)
+# ---------------------------------------------------------------------------
+
+_ST_BASE = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS doc_length
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS doc_count, avg(doc_length) AS avg_doc_length,
+         sum(doc_length)::DOUBLE AS total_tokens
+  FROM doc_len
+),
+qocc AS (
+  SELECT * FROM (VALUES {{qterms}}) AS v(pos, term)
+),
+tstats AS (
+  SELECT term, sum(tf)::DOUBLE AS ctf, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM doc_tf WHERE term IN (SELECT DISTINCT term FROM qocc)
+  GROUP BY term
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM doc_tf
+  WHERE term IN (SELECT DISTINCT term FROM qocc)
+),
+occ AS (
+  SELECT q.pos, q.term, c.doc_id, coalesce(dt.tf, 0)::DOUBLE AS tf,
+         dl.doc_length::DOUBLE AS dl, s.avg_doc_length AS avgdl,
+         s.doc_count, t.ctf, t.df, s.total_tokens
+  FROM qocc q
+  JOIN tstats t USING (term)
+  CROSS JOIN cand c
+  LEFT JOIN doc_tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  JOIN doc_len dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+),
+""".replace("{qterms}", _qterms_values(QUERY_TERMS))
+
+ORACLE_CLASSIC = _ST_BASE + """
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf > 0 THEN
+             sqrt(tf) * pow(1.0 + ln(doc_count / (df + 1.0)), 2) / sqrt(dl)
+             ELSE 0.0 END) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LM_TOPK
+
+ORACLE_DFI = _ST_BASE + """
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf > 0 AND tf > dl * ctf / total_tokens THEN
+             log2((tf - dl * ctf / total_tokens)
+                  / sqrt(dl * ctf / total_tokens) + 1.0)
+             ELSE 0.0 END) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LM_TOPK
+
+ORACLE_PL2 = _ST_BASE + f"""
+perdoc AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf > 0 THEN
+             (1.0 / (tf * log2(1.0 + {ranking_models.PL2_C} * avgdl / dl) + 1.0))
+             * (tf * log2(1.0 + {ranking_models.PL2_C} * avgdl / dl)
+                  * log2(tf * log2(1.0 + {ranking_models.PL2_C} * avgdl / dl)
+                         / (ctf / doc_count))
+                + (ctf / doc_count
+                   - tf * log2(1.0 + {ranking_models.PL2_C} * avgdl / dl))
+                  / ln(2.0)
+                + 0.5 * log2(2.0 * pi()
+                             * tf * log2(1.0 + {ranking_models.PL2_C} * avgdl / dl)))
+             ELSE 0.0 END) AS score
+  FROM occ GROUP BY doc_id
+)
+""" + _LM_TOPK
+
+
+@register("classic_tfidf_topk", ORACLE_CLASSIC)
+def q_classic_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.classic_tfidf_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")
+
+
+@register("dfi_topk", ORACLE_DFI)
+def q_dfi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.dfi_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")
+
+
+@register("pl2_topk", ORACLE_PL2)
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)
+    scored = ranking_models.pl2_score(doc_tf, dlen, qs)
+    return ranking_models.topk(scored, 20).select("doc_id", "score", "rank")
+
+
 @register("bm25_plus_topk", ORACLE_BM25_PLUS)
 def q_bm25_plus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tf, dlen, qs = _lm_inputs(spark, sf_dir)

@@ -219,6 +219,146 @@ def bm25_plus_score(
     )
 
 
+def classic_tfidf_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """Lucene ClassicSimilarity (pre-BM25 default TFIDFSimilarity):
+    contribution per matched query occurrence = sqrt(tf) * idf_c^2 /
+    sqrt(dl) with idf_c = 1 + ln(N/(df+1)) — idf squared because the
+    classic formula weights BOTH the query and document vectors by idf;
+    1/sqrt(dl) is lengthNorm. queryNorm/coord were removed in Lucene 7
+    and are omitted here too (they don't change ranking). Occurrences of
+    terms absent from the collection are skipped (repo A7 convention);
+    tf = 0 occurrences contribute 0."""
+    occ = _stats_occ(doc_tf, doc_len, queries)
+    idf_c = F.lit(1.0) + F.log(F.col("doc_count") / (F.col("df") + F.lit(1.0)))
+    contrib = F.when(
+        F.col("tf") > 0,
+        F.sqrt(F.col("tf")) * idf_c * idf_c / F.sqrt(F.col("dl")),
+    ).otherwise(F.lit(0.0))
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def dfi_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """Lucene DFISimilarity with standardized independence (Kocabas &
+    Dincer 2014, "A nonparametric term weighting method for information
+    retrieval based on measuring the divergence from independence"):
+    expected tf under independence e = dl * ctf / total_tokens; matched
+    occurrences with tf > e contribute log2((tf - e)/sqrt(e) + 1);
+    occurrences at or below expectation contribute 0 (Lucene's documented
+    saturation — frequencies explained by chance score nothing)."""
+    occ = _stats_occ(doc_tf, doc_len, queries)
+    e = F.col("dl") * F.col("ctf") / F.col("total_tokens")
+    contrib = F.when(
+        (F.col("tf") > 0) & (F.col("tf") > e),
+        F.log2((F.col("tf") - e) / F.sqrt(e) + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+PL2_C = 1.0
+
+
+def pl2_score(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+    c: float = PL2_C,
+) -> DataFrame:
+    """Terrier's default DFR model PL2 (Amati & van Rijsbergen 2002:
+    Poisson randomness, Laplace after-effect, normalization 2):
+    tfn = tf * log2(1 + c * avgdl / dl), lambda = ctf / N, contribution
+    per matched occurrence =
+        (1/(tfn+1)) * (tfn*log2(tfn/lambda) + (lambda - tfn)*log2(e)
+                       + 0.5*log2(2*pi*tfn)).
+    tf = 0 occurrences contribute 0; terms absent from the collection
+    are skipped (inner ctf join)."""
+    import math
+
+    occ = _stats_occ(doc_tf, doc_len, queries)
+    tfn = F.col("tf") * F.log2(
+        F.lit(1.0) + F.lit(c) * F.col("avgdl") / F.col("dl")
+    )
+    lam = F.col("ctf") / F.col("doc_count")
+    log2e = F.lit(1.0 / math.log(2.0))
+    contrib = F.when(
+        F.col("tf") > 0,
+        (F.lit(1.0) / (tfn + F.lit(1.0)))
+        * (
+            tfn * F.log2(tfn / lam)
+            + (lam - tfn) * log2e
+            + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tfn)
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        occ.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def _stats_occ(
+    doc_tf: DataFrame,
+    doc_len: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """The _occ relation widened with df / doc_count / avgdl — the full
+    per-occurrence statistics row the classic/DFI/PL2 models need. Same
+    plan shape: every stats side broadcasts, candidates shuffle once."""
+    qocc = scorer.query_term_occurrences(queries)
+    qterms = qocc.select("term").distinct()
+    stats = scorer.corpus_stats(doc_len)
+    coll = doc_len.agg(F.sum("doc_length").cast("double").alias("total_tokens"))
+    tstats = (
+        doc_tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("double").alias("ctf"),
+            F.countDistinct("doc_id").cast("double").alias("df"),
+        )
+    )
+    cand = (
+        doc_tf.join(F.broadcast(qocc.select("query_id", "term").distinct()), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return (
+        qocc.join(F.broadcast(tstats), "term")
+        .join(cand, "query_id")
+        .join(doc_tf.select("doc_id", "term", "tf"), ["doc_id", "term"], "left")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "query_id",
+            "doc_id",
+            "pos",
+            "term",
+            F.coalesce("tf", F.lit(0)).cast("double").alias("tf"),
+            F.col("doc_length").cast("double").alias("dl"),
+            F.col("avg_doc_length").alias("avgdl"),
+            F.col("doc_count").cast("double").alias("doc_count"),
+            "ctf",
+            "df",
+            "total_tokens",
+        )
+    )
+
+
 def bm25l_score(
     doc_tf: DataFrame,
     doc_len: DataFrame,

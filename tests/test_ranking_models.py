@@ -138,3 +138,74 @@ def test_bm25_variants_match_oracle(inputs):
     for d in cand:
         assert got_p[d] == pytest.approx(plus(d), abs=1e-12)
         assert got_l[d] == pytest.approx(l_(d), abs=1e-12)
+
+
+def test_classic_dfi_pl2_match_oracle(inputs):
+    import math
+
+    toks = {d: t.split() for d, t in DOCS if t}
+    tf = {}
+    for d, ts in toks.items():
+        tf[d] = {}
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs = float(len(DOCS))  # empty doc counts toward doc_count/avgdl
+    avgdl = sum(dl.values()) / n_docs
+    total = float(sum(dl.values()))
+    qocc = QUERY.split()
+    df = {t: float(sum(1 for d in tf if t in tf[d])) for t in set(qocc)}
+    ctf = {t: float(sum(tf[d].get(t, 0) for d in tf)) for t in set(qocc)}
+    cand = {d for d in tf if any(t in tf[d] for t in set(qocc))}
+
+    def classic(d):
+        s = 0.0
+        for t in qocc:
+            if ctf[t] == 0 or t not in tf[d]:
+                continue
+            i = 1.0 + math.log(n_docs / (df[t] + 1.0))
+            s += math.sqrt(tf[d][t]) * i * i / math.sqrt(dl[d])
+        return s
+
+    def dfi(d):
+        s = 0.0
+        for t in qocc:
+            if ctf[t] == 0:
+                continue
+            f = float(tf[d].get(t, 0))
+            e = dl[d] * ctf[t] / total
+            if f > 0 and f > e:
+                s += math.log2((f - e) / math.sqrt(e) + 1.0)
+        return s
+
+    def pl2(d, c=ranking_models.PL2_C):
+        s = 0.0
+        for t in qocc:
+            if ctf[t] == 0 or t not in tf[d]:
+                continue
+            tfn = tf[d][t] * math.log2(1.0 + c * avgdl / dl[d])
+            lam = ctf[t] / n_docs
+            s += (1.0 / (tfn + 1.0)) * (
+                tfn * math.log2(tfn / lam)
+                + (lam - tfn) / math.log(2.0)
+                + 0.5 * math.log2(2.0 * math.pi * tfn)
+            )
+        return s
+
+    got_c = {
+        r["doc_id"]: r["score"]
+        for r in ranking_models.classic_tfidf_score(*inputs).collect()
+    }
+    got_d = {
+        r["doc_id"]: r["score"]
+        for r in ranking_models.dfi_score(*inputs).collect()
+    }
+    got_p = {
+        r["doc_id"]: r["score"]
+        for r in ranking_models.pl2_score(*inputs).collect()
+    }
+    assert set(got_c) == cand and set(got_d) == cand and set(got_p) == cand
+    for d in cand:
+        assert got_c[d] == pytest.approx(classic(d), abs=1e-12)
+        assert got_d[d] == pytest.approx(dfi(d), abs=1e-12)
+        assert got_p[d] == pytest.approx(pl2(d), abs=1e-12)
