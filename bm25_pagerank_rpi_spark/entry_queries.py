@@ -1169,6 +1169,7 @@ _DRIVER_UNSEEN_FIRST = [
     "classic_tfidf_topk",
     "dfi_topk",
     "pl2_topk",
+    "dis_max_topk",
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",

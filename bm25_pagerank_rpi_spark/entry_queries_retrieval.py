@@ -1427,3 +1427,149 @@ def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# dis_max multi-field query (best_fields multi_match)
+# ---------------------------------------------------------------------------
+
+DISMAX_QUERY_TEXT = "hash join search assistant"
+DISMAX_TIE = 0.3
+
+_DISMAX_QTERMS = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(DISMAX_QUERY_TEXT.split())
+)
+
+
+def _dismax_leg(p: str, toks_sql: str) -> str:
+    """One per-field BM25 leg (house skeleton semantics) as a CTE chain
+    prefixed with `p`; ends with {p}perdoc(doc_id, score) = the field's
+    candidate set scored with its OWN df / doc_count / avgdl."""
+    return f"""
+{p}toks AS ({toks_sql}),
+{p}tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM {p}toks GROUP BY doc_id, term
+),
+{p}len AS (
+  SELECT d.doc_id, coalesce(l.n, 0) AS doc_length
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM {p}toks GROUP BY doc_id) l
+    USING (doc_id)
+),
+{p}stats AS (
+  SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM {p}len
+),
+{p}df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM {p}tf
+  WHERE term IN (SELECT DISTINCT term FROM dq) GROUP BY term
+),
+{p}idf AS (
+  SELECT term,
+         ln((SELECT doc_count FROM {p}stats)::DOUBLE / (df + 1)) AS idf
+  FROM {p}df
+),
+{p}cand AS (
+  SELECT DISTINCT doc_id FROM {p}tf
+  WHERE term IN (SELECT DISTINCT term FROM dq)
+),
+{p}perdoc AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN dt.tf IS NOT NULL AND i.idf IS NOT NULL THEN
+             i.idf * (dt.tf * {_K1P1}) /
+             (dt.tf + {K1} * ({_1MB} + {B} * (dl.doc_length /
+                              (SELECT avg_doc_length FROM {p}stats))))
+             ELSE 0.0 END) AS score
+  FROM dq q
+  CROSS JOIN {p}cand c
+  LEFT JOIN {p}tf dt ON dt.doc_id = c.doc_id AND dt.term = q.term
+  LEFT JOIN {p}idf i ON i.term = q.term
+  JOIN {p}len dl ON dl.doc_id = c.doc_id
+  GROUP BY c.doc_id
+)"""
+
+
+ORACLE_DISMAX = (
+    f"""
+WITH dq AS (SELECT * FROM (VALUES {_DISMAX_QTERMS}) AS v(pos, term)),
+"""
+    + _dismax_leg(
+        "t_",
+        """SELECT doc_id, t.term FROM documents,
+       unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''""",
+    )
+    + ","
+    + _dismax_leg(
+        "r_",
+        """SELECT doc_id,
+       list_extract(['user','assistant','system','tool'],
+                    (doc_id % 4 + 1)::INT) AS term
+       FROM documents""",
+    )
+    + ","
+    + _dismax_leg(
+        "o_",
+        """SELECT doc_id,
+       list_extract(['none','search','code','browser'],
+                    ((doc_id % 16) // 4 + 1)::INT) AS term
+       FROM documents""",
+    )
+    + f""",
+legs AS (
+  SELECT doc_id, score FROM t_perdoc
+  UNION ALL SELECT doc_id, score FROM r_perdoc
+  UNION ALL SELECT doc_id, score FROM o_perdoc
+),
+dm AS (
+  SELECT doc_id,
+         max(score) + {DISMAX_TIE} * (sum(score) - max(score)) AS score
+  FROM legs GROUP BY doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)::INT AS rank
+  FROM dm
+) WHERE rank <= 20
+"""
+)
+
+
+@register("dis_max_topk", ORACLE_DISMAX)
+def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene DisjunctionMaxQuery over three transcript fields: each
+    field (text body, role, tool) scores independently through the
+    UNCHANGED exact BM25 path with its own df/avgdl statistics, and the
+    per-doc combine is max + tie_breaker * (sum - max). Contrast with
+    bm25f_topk, which merges fields BEFORE scoring (weighted tf/dl);
+    dis_max is ES's best_fields, BM25F is its combined-fields."""
+    turns = _turn_docs(spark, sf_dir)
+    text_docs = turns.select("doc_id", "text")
+    fields = [
+        (
+            "text",
+            scorer.doc_term_frequencies(text_docs),
+            scorer.doc_lengths(text_docs),
+        ),
+        (
+            "role",
+            turns.select(
+                "doc_id",
+                F.col("role").alias("term"),
+                F.lit(1).cast("int").alias("tf"),
+            ),
+            turns.select("doc_id", F.lit(1).alias("doc_length")),
+        ),
+        (
+            "tool",
+            turns.select(
+                "doc_id",
+                F.col("tool").alias("term"),
+                F.lit(1).cast("int").alias("tf"),
+            ),
+            turns.select("doc_id", F.lit(1).alias("doc_length")),
+        ),
+    ]
+    qdf = spark.createDataFrame(
+        [("q1", DISMAX_QUERY_TEXT)], "query_id string, text string"
+    )
+    out = retrieval_plus.dis_max_topk(fields, qdf, 20, DISMAX_TIE)
+    return out.select("doc_id", "score", "rank")

@@ -2050,3 +2050,64 @@ def collapsed_topk(
     ).select("query_id", "doc_id", "bm25")
     kept = scored.join(losers, "doc_id", "left_anti")
     return scorer.topk(kept, k)
+
+
+# ---------------------------------------------------------------------------
+# dis_max multi-field query (Elasticsearch dis_max / best_fields multi_match)
+# ---------------------------------------------------------------------------
+
+
+def dis_max_score(
+    fields: list[tuple[str, DataFrame, DataFrame]],
+    queries: DataFrame,
+    tie_breaker: float = 0.3,
+) -> DataFrame:
+    """Disjunction-max over independently scored fields: each field leg
+    is the UNCHANGED exact BM25 scorer run against that field's own
+    (doc_tf, doc_len) relations — its own df / doc_count / avgdl — and
+    the per-(query, doc) combination is Lucene DisjunctionMaxQuery:
+
+        score = max_f s_f + tie_breaker * (sum_f s_f - max_f s_f)
+
+    A doc matching in no field has no leg row and is absent (dis_max
+    candidates = union of per-field candidate sets). `fields` is a list
+    of (name, doc_tf, doc_len); the name is carried only for debugging.
+
+    100-TB notes: each leg keeps the exact scorer's plan (broadcast
+    query terms + stats, one candidate shuffle); the combine is one hash
+    agg on (query_id, doc_id) over the unioned post-scoring legs, whose
+    size is bounded by sum of candidate sets — no cross product, no
+    second scoring kernel.
+    """
+    from functools import reduce
+
+    legs = []
+    for _name, dtf, dlen in fields:
+        s = scorer.score_candidates(
+            dtf, dlen, scorer.corpus_stats(dlen), queries
+        ).select("query_id", "doc_id", F.col("bm25").alias("s"))
+        legs.append(s)
+    u = reduce(lambda a, b: a.unionByName(b), legs)
+    mx = F.max("s")
+    return (
+        u.groupBy("query_id", "doc_id")
+        .agg(
+            (mx + F.lit(tie_breaker) * (F.sum("s") - mx)).alias("score"),
+        )
+    )
+
+
+def dis_max_topk(
+    fields: list[tuple[str, DataFrame, DataFrame]],
+    queries: DataFrame,
+    k: int,
+    tie_breaker: float = 0.3,
+) -> DataFrame:
+    """Per-query top-k of dis_max_score (6-dp rounding, doc_id asc ties)."""
+    scored = dis_max_score(fields, queries, tie_breaker)
+    return scorer.topk(
+        scored.select(
+            "query_id", "doc_id", F.round("score", 6).alias("bm25")
+        ),
+        k,
+    ).select("query_id", "doc_id", F.col("bm25").alias("score"), "rank")

@@ -1114,3 +1114,68 @@ def test_collapsed_topk_keeps_canonicals_only(spark):
         assert r["bm25"] == plain[d]
     # ranks re-number densely over survivors
     assert sorted(r["rank"] for r in rows) == [1, 2]
+
+
+def test_dis_max_combines_field_legs(spark):
+    import pytest
+    # field A: text; field B: a one-token "tag" field
+    docs = spark.createDataFrame(
+        [("1", "apple pie apple"), ("2", "banana split"), ("3", "cherry")],
+        "doc_id string, text string",
+    )
+    tags = spark.createDataFrame(
+        [("1", "fruit"), ("2", "apple"), ("3", "nut")],
+        "doc_id string, term string",
+    )
+    qs = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    dlen = scorer.doc_lengths(docs)
+    fields = [
+        ("text", scorer.doc_term_frequencies(docs), dlen),
+        (
+            "tag",
+            tags.select("doc_id", "term", F.lit(1).cast("int").alias("tf")),
+            tags.select("doc_id", F.lit(1).alias("doc_length")),
+        ),
+    ]
+    tie = 0.4
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in rp.dis_max_score(fields, qs, tie).collect()
+    }
+    # leg scores computed independently with each field's own stats
+    text_leg = {
+        r["doc_id"]: r["bm25"]
+        for r in scorer.score_candidates(
+            scorer.doc_term_frequencies(docs), dlen,
+            scorer.corpus_stats(dlen), qs,
+        ).collect()
+    }
+    # tag field: 3 docs, dl=avgdl=1, df('apple')=1 -> idf=ln(3/2),
+    # tf=1 -> bm25 term = idf * (k1+1)/(1+k1)  = idf
+    tag_leg = {"2": math.log(3.0 / 2.0)}
+    # doc 1 matches only text; doc 2 only the tag field; doc 3 neither
+    assert set(got) == {("q1", "1"), ("q1", "2")}
+    # single-leg docs: dis_max == that leg's score (tie adds nothing)
+    assert got[("q1", "1")] == pytest.approx(text_leg["1"], abs=1e-12)
+    assert got[("q1", "2")] == pytest.approx(tag_leg["2"], abs=1e-12)
+    # two-leg combine: widen the query so doc 1 matches BOTH fields
+    qs2 = spark.createDataFrame(
+        [("q2", "apple fruit")], "query_id string, text string"
+    )
+    got2 = {
+        r["doc_id"]: r["score"]
+        for r in rp.dis_max_score(fields, qs2, tie).collect()
+    }
+    text2 = {
+        r["doc_id"]: r["bm25"]
+        for r in scorer.score_candidates(
+            scorer.doc_term_frequencies(docs), dlen,
+            scorer.corpus_stats(dlen), qs2,
+        ).collect()
+    }
+    # tag leg for q2: df(apple)=1, df(fruit)=1 over 3 one-token docs;
+    # matched tf=1, dl=avgdl=1 -> contribution = idf = ln(3/2)
+    tag2 = {"1": math.log(3.0 / 2.0), "2": math.log(3.0 / 2.0)}
+    both = [text2["1"], tag2["1"]]
+    exp1 = max(both) + tie * (sum(both) - max(both))
+    assert got2["1"] == pytest.approx(exp1, abs=1e-12)
