@@ -1170,6 +1170,8 @@ _DRIVER_UNSEEN_FIRST = [
     "dfi_topk",
     "pl2_topk",
     "dis_max_topk",
+    "facet_top_hits",
+    "range_facet_counts",
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",

@@ -1573,3 +1573,78 @@ def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = retrieval_plus.dis_max_topk(fields, qdf, 20, DISMAX_TIE)
     return out.select("doc_id", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Facet top-hits + range facet (ES top_hits / range aggregations)
+# ---------------------------------------------------------------------------
+
+ORACLE_FACET_TOP_HITS = SQL_SKELETON + """
+SELECT value, doc_id, bm25, bucket_rank FROM (
+  SELECT d.lang AS value, p.doc_id, round(p.bm25, 6) AS bm25,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY round(p.bm25, 6) DESC, p.doc_id ASC
+         )::INT AS bucket_rank
+  FROM perdoc p JOIN documents d USING (doc_id)
+) WHERE bucket_rank <= 3
+"""
+
+
+@register("facet_top_hits", ORACLE_FACET_TOP_HITS)
+def q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits-inside-terms-agg: the standard query's candidates,
+    top 3 per lang bucket by exact BM25 (rank window partitioned by
+    (query, facet value) — WindowGroupLimit applies per bucket)."""
+    docs = _docs(spark, sf_dir)
+    out = retrieval_plus.facet_top_hits(
+        docs, _queries_df(spark), "lang", 3
+    )
+    return out.select("value", "doc_id", "bm25", "bucket_rank")
+
+
+RANGE_FACET_BOUNDS = [200.0, 350.0, 500.0]
+
+_RANGE_FRAME_VALUES = ", ".join(
+    f"({i}, {lo if lo is not None else 'NULL::DOUBLE'}, "
+    f"{hi if hi is not None else 'NULL::DOUBLE'})"
+    for i, (lo, hi) in enumerate(
+        zip(
+            [None] + RANGE_FACET_BOUNDS,
+            RANGE_FACET_BOUNDS + [None],
+        )
+    )
+)
+
+_RANGE_IDX_SQL = " + ".join(
+    f"(CASE WHEN v >= {b} THEN 1 ELSE 0 END)" for b in RANGE_FACET_BOUNDS
+)
+
+ORACLE_RANGE_FACET = SQL_SKELETON + f"""
+, rjoin AS (
+  SELECT p.doc_id, d.n_chars::DOUBLE AS v
+  FROM perdoc p JOIN documents d USING (doc_id)
+),
+got AS (
+  SELECT ({_RANGE_IDX_SQL}) AS bucket_idx, count(*)::BIGINT AS n_docs
+  FROM rjoin GROUP BY 1
+),
+frame AS (
+  SELECT * FROM (VALUES {_RANGE_FRAME_VALUES}) AS f(bucket_idx, lo, hi)
+)
+SELECT f.bucket_idx::INT AS bucket_idx, f.lo, f.hi,
+       coalesce(g.n_docs, 0)::BIGINT AS n_docs
+FROM frame f LEFT JOIN got g USING (bucket_idx)
+"""
+
+
+@register("range_facet_counts", ORACLE_RANGE_FACET)
+def q_range_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation over the candidate set: n_chars buckets
+    [-inf,200) [200,350) [350,500) [500,inf) with from-inclusive /
+    to-exclusive ES bounds; empty buckets emitted with n_docs = 0."""
+    docs = _docs(spark, sf_dir)
+    out = retrieval_plus.range_facet_counts(
+        docs, _queries_df(spark), "n_chars", RANGE_FACET_BOUNDS
+    )
+    return out.select("bucket_idx", "lo", "hi", "n_docs")

@@ -2111,3 +2111,117 @@ def dis_max_topk(
         ),
         k,
     ).select("query_id", "doc_id", F.col("bm25").alias("score"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Facet top-hits and range facets (ES top_hits / range aggregations)
+# ---------------------------------------------------------------------------
+
+
+def facet_top_hits(
+    docs: DataFrame,
+    queries: DataFrame,
+    facet_col: str,
+    k_per_bucket: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `top_hits` inside a terms aggregation: per (query, facet value),
+    the top-k_per_bucket candidate docs by exact BM25.
+
+    (query_id, value, doc_id, bm25, bucket_rank). Scoring is the
+    UNCHANGED exact path over the full disjunctive candidate set; the
+    only addition is one metadata join to attach the facet value and a
+    rank window partitioned by (query_id, value) instead of query_id —
+    Spark >= 3.5 still pushes the per-partition limit into the sort
+    (WindowGroupLimit), so no bucket ever materializes a full sort.
+    """
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    scored = scorer.score_candidates(
+        dtf, dlen, scorer.corpus_stats(dlen), queries
+    ).select("query_id", "doc_id", F.round("bm25", 6).alias("bm25"))
+    meta = scored.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(facet_col).cast("string").alias("value"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("query_id", "value").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        meta.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= k_per_bucket)
+        .select("query_id", "value", "doc_id", "bm25", "bucket_rank")
+    )
+
+
+def range_facet_counts(
+    docs: DataFrame,
+    queries: DataFrame,
+    range_col: str,
+    bounds: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `range` aggregation over the candidate set: buckets are
+    [-inf, b0), [b0, b1), ..., [b_{n-1}, +inf) — from inclusive, to
+    exclusive, exactly ES's convention. Returns (query_id, bucket_idx,
+    lo, hi, n_docs) with NULL lo/hi on the open ends; empty buckets are
+    emitted with n_docs = 0 (ES keeps them), via a literal bucket frame
+    cross-joined per query.
+
+    The bucket index is computed map-side with one CASE chain (bounds
+    are a query-time literal list), so the agg input is already
+    (query_id, bucket) pairs — #distinct keys <= queries x buckets.
+    """
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    qterms = (
+        scorer.query_term_occurrences(queries)
+        .select("query_id", "term")
+        .distinct()
+    )
+    cand = (
+        dtf.select("term", "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    meta = cand.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(range_col).cast("double").alias("v"),
+        ),
+        "doc_id",
+    )
+    # bucket_idx = number of bounds <= v  (from-inclusive / to-exclusive)
+    idx = F.lit(0)
+    for b in bounds:
+        idx = idx + F.when(F.col("v") >= F.lit(float(b)), 1).otherwise(0)
+    got = (
+        meta.select("query_id", idx.alias("bucket_idx"))
+        .groupBy("query_id", "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ext = [None] + [float(b) for b in bounds] + [None]
+    frame_rows = [
+        (i, ext[i], ext[i + 1]) for i in range(len(bounds) + 1)
+    ]
+    spark = docs.sparkSession
+    frame = spark.createDataFrame(
+        frame_rows, "bucket_idx int, lo double, hi double"
+    )
+    qids = queries.select("query_id").distinct()
+    full = qids.crossJoin(F.broadcast(frame))
+    return (
+        full.join(got, ["query_id", "bucket_idx"], "left")
+        .select(
+            "query_id",
+            "bucket_idx",
+            "lo",
+            "hi",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )

@@ -1179,3 +1179,39 @@ def test_dis_max_combines_field_legs(spark):
     both = [text2["1"], tag2["1"]]
     exp1 = max(both) + tie * (sum(both) - max(both))
     assert got2["1"] == pytest.approx(exp1, abs=1e-12)
+
+
+def test_range_facet_bounds_inclusive_exclusive(spark):
+    import pytest
+    docs = spark.createDataFrame(
+        [("1", "apple", 10.0), ("2", "apple", 20.0), ("3", "apple", 19.999),
+         ("4", "apple", 30.0), ("5", "banana", 99.0)],
+        "doc_id string, text string, size double",
+    )
+    qs = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    rows = rp.range_facet_counts(docs, qs, "size", [20.0, 30.0]).collect()
+    got = {r["bucket_idx"]: r for r in rows}
+    # ES bounds: [-inf,20) [20,30) [30,inf); value 20.0 lands UP (from-inclusive)
+    assert [got[i]["n_docs"] for i in range(3)] == [2, 1, 1]
+    assert got[0]["lo"] is None and got[0]["hi"] == 20.0
+    assert got[2]["lo"] == 30.0 and got[2]["hi"] is None
+    # non-candidate doc 5 excluded entirely
+    assert sum(r["n_docs"] for r in rows) == 4
+    # empty bucket still emitted
+    rows2 = rp.range_facet_counts(docs, qs, "size", [1000.0]).collect()
+    got2 = {r["bucket_idx"]: r["n_docs"] for r in rows2}
+    assert got2 == {0: 4, 1: 0}
+
+
+def test_facet_top_hits_per_bucket_rank(spark):
+    docs = spark.createDataFrame(
+        [("1", "apple apple", "en"), ("2", "apple", "en"),
+         ("3", "apple apple apple", "fr"), ("4", "banana", "fr")],
+        "doc_id string, text string, lang string",
+    )
+    qs = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    rows = rp.facet_top_hits(docs, qs, "lang", 1).collect()
+    got = {r["value"]: r["doc_id"] for r in rows}
+    # best candidate per lang bucket; doc 4 never a candidate
+    assert got == {"en": "1", "fr": "3"}
+    assert all(r["bucket_rank"] == 1 for r in rows)
