@@ -1172,6 +1172,7 @@ _DRIVER_UNSEEN_FIRST = [
     "dis_max_topk",
     "facet_top_hits",
     "range_facet_counts",
+    "phrase_suggest_collated",
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",

@@ -1648,3 +1648,93 @@ def q_range_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _queries_df(spark), "n_chars", RANGE_FACET_BOUNDS
     )
     return out.select("bucket_idx", "lo", "hi", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Phrase suggester with collation ("did you mean")
+# ---------------------------------------------------------------------------
+
+PHRASE_SUGGEST_TERMS = ["hash", "joon", "tabl"]
+
+
+def _ps_cand(i: int, t: str) -> str:
+    return f"""
+cand{i} AS (
+  SELECT term, dist, df FROM (
+    SELECT v.term, levenshtein('{t}', v.term) AS dist, v.df,
+           row_number() OVER (
+             ORDER BY levenshtein('{t}', v.term) ASC, v.df DESC, v.term ASC
+           ) AS rn
+    FROM vocab v WHERE levenshtein('{t}', v.term) <= 1
+  ) WHERE rn <= 3
+)"""
+
+
+ORACLE_PHRASE_SUGGEST = (
+    """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+doc_terms AS (
+  SELECT DISTINCT doc_id, term FROM toks
+),"""
+    + ",".join(_ps_cand(i, t) for i, t in enumerate(PHRASE_SUGGEST_TERMS))
+    + """,
+combos AS (
+  SELECT c0.term AS t0, c1.term AS t1, c2.term AS t2,
+         (c0.dist + c1.dist + c2.dist)::INT AS total_dist,
+         round(ln(c0.df + 1.0) + ln(c1.df + 1.0) + ln(c2.df + 1.0), 6)
+           AS lm_score,
+         concat(c0.term, ' ', c1.term, ' ', c2.term) AS suggestion
+  FROM cand0 c0 CROSS JOIN cand1 c1 CROSS JOIN cand2 c2
+),
+cterms AS (
+  SELECT DISTINCT suggestion, t.term
+  FROM combos, unnest([t0, t1, t2]) AS t(term)
+),
+need AS (SELECT suggestion, count(*) AS n_need FROM cterms GROUP BY suggestion),
+hits AS (
+  SELECT c.suggestion, d.doc_id, count(DISTINCT d.term) AS n_have
+  FROM doc_terms d JOIN cterms c USING (term)
+  GROUP BY c.suggestion, d.doc_id
+),
+collated AS (
+  SELECT h.suggestion, count(*)::BIGINT AS n_matching_docs
+  FROM hits h JOIN need n USING (suggestion)
+  WHERE h.n_have = n.n_need
+  GROUP BY h.suggestion
+)
+SELECT suggestion, total_dist, lm_score, n_matching_docs, rank FROM (
+  SELECT cb.suggestion, cb.total_dist, cb.lm_score, co.n_matching_docs,
+         row_number() OVER (
+           ORDER BY cb.total_dist ASC, cb.lm_score DESC, cb.suggestion ASC
+         )::INT AS rank
+  FROM combos cb JOIN collated co USING (suggestion)
+) WHERE rank <= 5
+"""
+)
+
+
+@register("phrase_suggest_collated", ORACLE_PHRASE_SUGGEST)
+def q_phrase_suggest_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester with collate+prune: per-position Levenshtein-1
+    candidates compose into whole-query suggestions, kept only when >= 1
+    document contains every corrected term; ranked by fewest edits, then
+    unigram lm_score = sum ln(df+1), then text. The oracle brute-forces
+    the distance join and replays composition + collation in SQL."""
+    docs = _docs(spark, sf_dir)
+    out = retrieval_plus.phrase_suggest(
+        docs, PHRASE_SUGGEST_TERMS, per_term=3, n=5
+    )
+    return out.select(
+        "suggestion",
+        F.col("total_dist").cast("int").alias("total_dist"),
+        "lm_score",
+        F.col("n_matching_docs").cast("long").alias("n_matching_docs"),
+        F.col("rank").cast("int").alias("rank"),
+    )

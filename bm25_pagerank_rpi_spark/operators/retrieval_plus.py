@@ -2225,3 +2225,90 @@ def range_facet_counts(
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase suggester with collation ("did you mean", ES phrase suggester)
+# ---------------------------------------------------------------------------
+
+
+def phrase_suggest(
+    docs: DataFrame,
+    terms: list[str],
+    per_term: int = 3,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-query correction: per-position spell candidates (Levenshtein
+    <= 1 from the corpus vocabulary, the spell_suggest ranking) compose
+    into candidate phrases, which are COLLATED — kept only if at least
+    one document contains every corrected term (ES phrase suggester with
+    `collate` + prune). Returns (suggestion, total_dist, lm_score,
+    n_matching_docs, rank), ranked by fewest edits, then highest
+    lm_score = sum ln(df+1) (a unigram stand-in for ES's word-gram LM),
+    then suggestion asc. The identity phrase ranks first when every input
+    term exists (dist 0).
+
+    `terms` is the tokenized query — driver-side planning state, same
+    convention as WAND query planning. Candidate composition is a fold
+    of broadcast joins over per-position legs (per_term^len(terms) rows,
+    both factors query-time literals); the corpus-scale work — the
+    vocabulary df agg and the conjunctive collation probe — stays
+    distributed: collation explodes candidate terms (bounded) against
+    the postings relation and counts distinct matched terms per
+    (candidate, doc), so no per-candidate corpus scan.
+    """
+    from functools import reduce
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [("q", t) for t in sorted(set(terms))], "query_id string, term string"
+    )
+    sugg = spell_suggest(docs, qdf, n=per_term, id_col=id_col, text_col=text_col)
+    legs = []
+    for i, t in enumerate(terms):
+        legs.append(
+            sugg.filter(F.col("qterm") == t).select(
+                F.col("term").alias(f"t{i}"),
+                F.col("dist").alias(f"d{i}"),
+                F.col("df").alias(f"f{i}"),
+            )
+        )
+    combined = reduce(lambda a, b: a.crossJoin(F.broadcast(b)), legs)
+    phrase = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(len(terms))])
+    total_dist = sum(F.col(f"d{i}") for i in range(len(terms)))
+    lm = sum(F.log(F.col(f"f{i}") + F.lit(1.0)) for i in range(len(terms)))
+    cands = combined.select(
+        phrase.alias("suggestion"),
+        total_dist.cast("int").alias("total_dist"),
+        F.round(lm, 6).alias("lm_score"),
+    )
+    # collation: >=1 doc containing ALL distinct terms of the suggestion
+    cterms = cands.select(
+        "suggestion", F.explode(F.split("suggestion", " ")).alias("term")
+    ).distinct()
+    need = cterms.groupBy("suggestion").agg(
+        F.count(F.lit(1)).alias("n_need")
+    )
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    hits = (
+        dtf.join(F.broadcast(cterms), "term")
+        .groupBy("suggestion", "doc_id")
+        .agg(F.count_distinct("term").alias("n_have"))
+    )
+    collated = (
+        hits.join(F.broadcast(need), "suggestion")
+        .filter(F.col("n_have") == F.col("n_need"))
+        .groupBy("suggestion")
+        .agg(F.count(F.lit(1)).alias("n_matching_docs"))
+    )
+    w = Window.orderBy(
+        F.asc("total_dist"), F.desc("lm_score"), F.asc("suggestion")
+    )
+    return (
+        cands.join(collated, "suggestion")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("suggestion", "total_dist", "lm_score", "n_matching_docs", "rank")
+    )

@@ -1215,3 +1215,32 @@ def test_facet_top_hits_per_bucket_rank(spark):
     # best candidate per lang bucket; doc 4 never a candidate
     assert got == {"en": "1", "fr": "3"}
     assert all(r["bucket_rank"] == 1 for r in rows)
+
+
+def test_phrase_suggest_collation_prunes(spark):
+    import pytest
+    docs = spark.createDataFrame(
+        [
+            ("1", "alpha beta"), ("2", "alpha beta"), ("3", "alpha gamma"),
+            ("4", "altha delta"),  # 'altha' is lev-1 from 'alpha'
+        ],
+        "doc_id string, text string",
+    )
+    # query 'alpha betb': corrections include (alpha|altha) x (beta),
+    # but 'altha beta' co-occurs in no doc -> collation prunes it
+    rows = rp.phrase_suggest(docs, ["alpha", "betb"], per_term=3, n=5).collect()
+    sugg = {r["suggestion"]: r for r in rows}
+    assert "alpha beta" in sugg
+    assert "altha beta" not in sugg
+    top = sugg["alpha beta"]
+    assert top["total_dist"] == 1  # betb -> beta
+    assert top["n_matching_docs"] == 2  # docs 1 and 2
+    import math
+    # lm_score = ln(df_alpha+1) + ln(df_beta+1) = ln(4) + ln(3)
+    assert top["lm_score"] == pytest.approx(
+        round(math.log(4.0) + math.log(3.0), 6), abs=1e-9
+    )
+    # identity phrase of an all-valid query ranks first at dist 0
+    rows2 = rp.phrase_suggest(docs, ["alpha", "beta"], per_term=3, n=5).collect()
+    first = min(rows2, key=lambda r: r["rank"])
+    assert first["suggestion"] == "alpha beta" and first["total_dist"] == 0
