@@ -1173,6 +1173,7 @@ _DRIVER_UNSEEN_FIRST = [
     "facet_top_hits",
     "range_facet_counts",
     "phrase_suggest_collated",
+    "salsa_scores",
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",

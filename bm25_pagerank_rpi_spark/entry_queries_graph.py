@@ -375,3 +375,67 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = _weighted_doc_graph(_docs(spark, sf_dir))
     out = pagerank.pagerank(nodes, edges, damping=DAMPING, iterations=ITERS)
     return out.select("node", _r("pagerank").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# SALSA: degree-normalized HITS (random walk on the bipartite graph)
+# ---------------------------------------------------------------------------
+
+SALSA_ITERS = 4
+
+
+def _salsa_oracle(iters: int) -> str:
+    """Unrolled SALSA on the same doc graph as hits_scores: edge weights
+    1/outdeg(src) (auth pass) and 1/indeg(dst) (hub pass) precomputed in
+    a MATERIALIZED wedges CTE, then the identical normalize-per-half-step
+    unroll as _hits_oracle."""
+    parts = ["""
+WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id // 8 = b.doc_id // 8
+  UNION ALL
+  SELECT doc_id, (doc_id // 8) * 8 FROM documents WHERE doc_id % 8 <> 0
+),
+wedges AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         1.0 / od.n AS w_auth, 1.0 / id.n AS w_hub
+  FROM edges e
+  JOIN (SELECT src, count(*) AS n FROM edges GROUP BY src) od USING (src)
+  JOIN (SELECT dst, count(*) AS n FROM edges GROUP BY dst) id USING (dst)
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i}r AS MATERIALIZED (SELECT e.dst AS node, sum(p.h * e.w_auth) AS v
+          FROM wedges e JOIN h{i - 1} p ON p.node = e.src GROUP BY e.dst),
+a{i} AS MATERIALIZED (SELECT n.node,
+           CASE WHEN (SELECT sum(v) FROM a{i}r) > 0
+                THEN coalesce(r.v, 0.0) / (SELECT sum(v) FROM a{i}r)
+                ELSE 0.0 END AS a
+         FROM nodes n LEFT JOIN a{i}r r USING (node)),
+h{i}r AS MATERIALIZED (SELECT e.src AS node, sum(p.a * e.w_hub) AS v
+          FROM wedges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src),
+h{i} AS MATERIALIZED (SELECT n.node,
+           CASE WHEN (SELECT sum(v) FROM h{i}r) > 0
+                THEN coalesce(r.v, 0.0) / (SELECT sum(v) FROM h{i}r)
+                ELSE 0.0 END AS h
+         FROM nodes n LEFT JOIN h{i}r r USING (node))""")
+    parts.append(f"""
+SELECT n.node, round(a.a, 6) AS authority, round(h.h, 6) AS hub
+FROM nodes n JOIN a{iters} a USING (node) JOIN h{iters} h USING (node)""")
+    return "".join(parts)
+
+
+@register("salsa_scores", _salsa_oracle(SALSA_ITERS))
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (Lempel & Moran 2000) over the same deterministic doc graph
+    as hits_scores: degree-normalized propagation damps the
+    tightly-knit-community inflation HITS exhibits — the link-analysis
+    menu's third member alongside PageRank and HITS."""
+    nodes, edges = _doc_graph(_docs(spark, sf_dir))
+    out = pagerank.salsa(nodes, edges, iterations=SALSA_ITERS)
+    return out.select(
+        "node", _r("authority").alias("authority"), _r("hub").alias("hub")
+    )

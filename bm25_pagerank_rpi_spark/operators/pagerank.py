@@ -306,13 +306,75 @@ def hits(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
 
+def salsa(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, authority, hub) — SALSA (Lempel & Moran, WWW 2000): HITS
+    with degree-normalized propagation, i.e. a random walk on the
+    bipartite hub/authority graph instead of mutual reinforcement:
+        auth'(v) = sum over in-edges (u,v) of hub(u) / outdeg(u)
+        hub'(u)  = sum over out-edges (u,v) of auth(v) / indeg(v)
+    Degree normalization makes SALSA robust to the tightly-knit-community
+    effect that inflates HITS scores. The stochastic updates preserve L1
+    mass exactly only on graphs with no dangling ends; the shared loop's
+    per-half-step L1 normalizer (a 1-row in-plan broadcast) restores the
+    convention on arbitrary graphs, so scores are comparable to hits().
+
+    Same scale shape as hits(): the degree relations are edge-keyed
+    aggregates computed ONCE and attached to the two pinned edge copies
+    as a per-edge weight column before the loop, so each half-step is
+    still exactly one shuffle (the contribution groupBy)."""
+    spark = nodes.sparkSession
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("_id"))
+    e_w = (
+        edges.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("_od")).alias("w_auth"),
+            (F.lit(1.0) / F.col("_id")).alias("w_hub"),
+        )
+    )
+    npart = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+        or spark.sparkContext.defaultParallelism
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _hits_loop(
+            nodes, e_w, npart, iterations, checkpoint_every, weighted=True
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
 def _hits_loop(
     nodes: DataFrame,
     edges: DataFrame,
     npart: int,
     iterations: int,
     checkpoint_every: int,
+    weighted: bool = False,
 ) -> DataFrame:
+    # weighted=True (salsa): edges carry w_auth/w_hub multipliers; the
+    # unweighted hits() path multiplies by a literal 1.0 so both variants
+    # share one loop body bit-for-bit.
+    if not weighted:
+        edges = edges.select(
+            "src", "dst",
+            F.lit(1.0).alias("w_auth"), F.lit(1.0).alias("w_hub"),
+        )
     nodes_p = nodes.repartition(npart, "node").persist()
     e_src = edges.repartition(npart, "src").persist()
     e_dst = edges.repartition(npart, "dst").persist()
@@ -340,13 +402,13 @@ def _hits_loop(
         auth_raw = (
             hub.join(e_src, hub.node == e_src.src)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("v"))
+            .agg(F.sum(F.col("hub") * F.col("w_auth")).alias("v"))
         )
         auth = _normalized(auth_raw, "authority")
         hub_raw = (
             auth.join(e_dst, auth.node == e_dst.dst)
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("v"))
+            .agg(F.sum(F.col("authority") * F.col("w_hub")).alias("v"))
         )
         hub = _normalized(hub_raw, "hub")
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:

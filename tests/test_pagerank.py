@@ -219,3 +219,52 @@ def test_weight_one_equals_unweighted(spark):
     unw = {r["node"]: r["pagerank"] for r in pagerank(nodes, e_unw, iterations=8).collect()}
     w1 = {r["node"]: r["pagerank"] for r in pagerank(nodes, e_w1, iterations=8).collect()}
     assert unw == w1
+
+
+def _np_salsa(n_nodes, edge_list, iters):
+    import numpy as np
+
+    A = np.zeros((n_nodes, n_nodes))
+    for s, d in edge_list:
+        A[s, d] += 1.0
+    od = A.sum(axis=1)
+    ind = A.sum(axis=0)
+    Wa = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    Wh = np.divide(A, ind[None, :], out=np.zeros_like(A), where=ind[None, :] > 0)
+    h = np.ones(n_nodes)
+    a = np.zeros(n_nodes)
+    for _ in range(iters):
+        a = Wa.T @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = Wh @ a
+        h = h / h.sum() if h.sum() > 0 else h
+    return a, h
+
+
+def test_salsa_numpy_parity(spark):
+    from bm25_pagerank_rpi_spark.operators.pagerank import hits, salsa
+
+    edge_list = [(0, 1), (0, 2), (3, 1), (1, 4), (2, 4), (4, 0)]
+    n_nodes = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node: (r.authority, r.hub)
+        for r in salsa(nodes, edges, iterations=4).collect()
+    }
+    a, h = _np_salsa(n_nodes, edge_list, 4)
+    for i in range(n_nodes):
+        assert got[i][0] == pytest.approx(a[i], abs=1e-12)
+        assert got[i][1] == pytest.approx(h[i], abs=1e-12)
+    assert got[5] == (0.0, 0.0)  # isolated node
+    # degree normalization: node 0's two out-edges each carry 1/2, so its
+    # targets' SALSA authorities differ from HITS's raw mutual counts —
+    # but node 1 (in-links from 0 and 3) still out-ranks node 2 (only 0)
+    assert got[1][0] > got[2][0]
+    hits_got = {
+        r.node: (r.authority, r.hub)
+        for r in hits(nodes, edges, iterations=4).collect()
+    }
+    assert any(
+        abs(got[i][0] - hits_got[i][0]) > 1e-9 for i in range(n_nodes)
+    )  # salsa is NOT hits on this graph
