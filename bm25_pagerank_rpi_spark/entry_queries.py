@@ -1174,6 +1174,7 @@ _DRIVER_UNSEEN_FIRST = [
     "range_facet_counts",
     "phrase_suggest_collated",
     "salsa_scores",
+    "quality_stratified_sample",
     # round-4.5 additions: never in any CORRECTNESS_r*.json
     "ordered_span_topk",
     "wand_analyzed_topk",

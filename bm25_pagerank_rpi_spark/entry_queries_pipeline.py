@@ -1126,3 +1126,50 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     their originals even when Jaccard sits below threshold."""
     out = dedup.ngram_containment_pairs(_docs_aug(spark, sf_dir), threshold=0.9)
     return out.select("doc_a", "doc_b", _r("containment").alias("containment"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-stratified sampling: CE buckets x deterministic per-bucket rates
+# ---------------------------------------------------------------------------
+
+_QS_BOUNDS = [3.37, 3.40]
+_QS_RATES = [1.0, 0.5, 0.1]
+
+_QS_CE_BODY = ORACLE_LM_CE.split("SELECT d.doc_id,")[0]
+
+ORACLE_QSAMPLE = _QS_CE_BODY + f""",
+ce AS (
+  SELECT d.doc_id,
+         round(-sum(d.m * ln((b.c12 + 1.0) / (c.c1 + 1.0 * voc.v))) / sum(d.m),
+               6) AS cross_entropy
+  FROM dbig d
+  JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+  JOIN ctx c ON c.w1 = d.w1
+  CROSS JOIN voc
+  GROUP BY d.doc_id
+),
+bucketed AS (
+  SELECT doc.doc_id, ce.cross_entropy,
+         CASE WHEN ce.cross_entropy IS NULL THEN {len(_QS_BOUNDS)}
+              ELSE (CASE WHEN ce.cross_entropy >= {_QS_BOUNDS[0]} THEN 1 ELSE 0 END
+                    + CASE WHEN ce.cross_entropy >= {_QS_BOUNDS[1]} THEN 1 ELSE 0 END)
+         END::INT AS bucket,
+         {phash_sql("'qsample-v1-' || CAST(doc.doc_id AS VARCHAR)")} % 1000000 AS h
+  FROM documents doc LEFT JOIN ce USING (doc_id)
+)
+SELECT doc_id, cross_entropy, bucket FROM bucketed
+WHERE h < CASE bucket WHEN 0 THEN {int(_QS_RATES[0] * 1_000_000)}
+                      WHEN 1 THEN {int(_QS_RATES[1] * 1_000_000)}
+                      ELSE {int(_QS_RATES[2] * 1_000_000)} END
+"""
+
+
+@register("quality_stratified_sample", ORACLE_QSAMPLE)
+def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style curation sampling: bigram-LM cross-entropy buckets
+    (head/middle/tail) x deterministic keep rates (100%/50%/10%), the
+    standard perplexity-stratified recipe for pretraining mixtures."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return textstats.quality_stratified_sample(
+        docs, _QS_BOUNDS, _QS_RATES
+    )

@@ -577,3 +577,60 @@ def collocations_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def quality_stratified_sample(
+    docs: DataFrame,
+    bounds: list[float],
+    rates: list[float],
+    salt: str = "qsample-v1",
+    id_col: str = "doc_id",
+    k_smooth: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity-stratified sampling (Wenzek et al. 2020):
+    bucket documents by bigram-LM cross-entropy — ascending ``bounds``
+    cut points give len(bounds)+1 buckets (head = most corpus-typical)
+    — and keep a deterministic per-bucket rate, e.g. keep all of head,
+    half of middle, a tenth of tail. ``rates[i]`` is the keep rate of
+    bucket i; len(rates) must be len(bounds)+1.
+
+    Membership reuses the dataset_mix rule — a pure function of
+    (salt, id) — so samples are stable across runs and cluster sizes,
+    monotone under rate increases, and compose with dataset_split /
+    dataset_mix under different salts. Documents too short to score
+    (< 2 tokens, no bigram) land in the LAST bucket (unknown quality is
+    treated as tail). Returns the kept docs as (doc_id, cross_entropy
+    NULL-able, bucket).
+
+    Scale shape: the LM scoring is lm_cross_entropy's linear joins; the
+    bucket gate is then one projection + filter — no extra shuffle
+    beyond the scoring itself."""
+    if len(rates) != len(bounds) + 1:
+        raise ValueError("rates must have len(bounds)+1 entries")
+    ce = lm_cross_entropy(docs, k_smooth=k_smooth).select(
+        id_col, "cross_entropy"
+    )
+    joined = docs.select(id_col).join(ce, id_col, "left")
+    bucket = F.when(
+        F.col("cross_entropy").isNull(), F.lit(len(bounds))
+    )
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(
+            F.col("cross_entropy") >= F.lit(float(b)), 1
+        ).otherwise(0)
+    bucket = bucket.otherwise(expr)
+    h = F.pmod(
+        phash(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    thresh = F.lit(int(round(rates[-1] * 1_000_000)))
+    for i in range(len(rates) - 2, -1, -1):
+        thresh = F.when(
+            F.col("bucket") == i, F.lit(int(round(rates[i] * 1_000_000)))
+        ).otherwise(thresh)
+    return (
+        joined.withColumn("bucket", bucket.cast("int"))
+        .filter(h < thresh)
+        .select(id_col, F.round("cross_entropy", 6).alias("cross_entropy"), "bucket")
+    )

@@ -293,3 +293,46 @@ class TestBpePieceCounts:
                 assert got[did][1] == pytest.approx(len(text) / want)
             else:
                 assert got[did][1] == 0.0
+
+
+def test_quality_stratified_sample(spark):
+    import pytest
+
+    from bm25_pagerank_rpi_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(20)]
+        + [(100 + i, "zzz qqq xxx unusual words here %d" % i) for i in range(20)]
+        + [(900, "short")],  # < 2 tokens -> unscorable, tail bucket
+        "doc_id long, text string",
+    )
+    ce = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in ts.lm_cross_entropy(docs).collect()
+    }
+    bound = sorted(ce.values())[len(ce) // 2]
+    rows = ts.quality_stratified_sample(docs, [bound], [1.0, 0.0]).collect()
+    kept = {r["doc_id"] for r in rows}
+    # rate-1.0 bucket keeps ALL its docs, rate-0 bucket and the
+    # unscorable doc (tail) keep none
+    expect = {d for d, v in ce.items() if v < bound}
+    assert kept == expect
+    assert 900 not in kept
+    # unscorable doc lands in the last bucket with NULL ce when kept
+    rows2 = ts.quality_stratified_sample(docs, [bound], [0.0, 1.0]).collect()
+    by_id = {r["doc_id"]: r for r in rows2}
+    assert 900 in by_id
+    assert by_id[900]["cross_entropy"] is None
+    assert by_id[900]["bucket"] == 1
+    # monotone: a lower-rate sample is a subset of a higher-rate one
+    lo = {
+        r["doc_id"]
+        for r in ts.quality_stratified_sample(docs, [bound], [0.3, 0.3]).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in ts.quality_stratified_sample(docs, [bound], [0.8, 0.8]).collect()
+    }
+    assert lo <= hi
+    with pytest.raises(ValueError):
+        ts.quality_stratified_sample(docs, [bound], [1.0])
