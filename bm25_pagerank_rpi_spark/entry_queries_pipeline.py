@@ -1173,3 +1173,40 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_stratified_sample(
         docs, _QS_BOUNDS, _QS_RATES
     )
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence dedup (batch twin of streaming/stream_dedup.py)
+# ---------------------------------------------------------------------------
+
+_FD_HASH_SQL = phash_sql(
+    "coalesce(CAST(event_type AS VARCHAR), chr(0) || 'null') || chr(31) || "
+    "coalesce(CAST(value AS VARCHAR), chr(0) || 'null')"
+)
+
+ORACLE_FIRST_DEDUP = f"""
+SELECT event_id, user_id, event_type, content_hash FROM (
+  SELECT event_id, ts, user_id, event_type, content_hash,
+         row_number() OVER (
+           PARTITION BY content_hash ORDER BY ts ASC, event_id ASC
+         ) AS rn
+  FROM (
+    SELECT event_id, ts, user_id, event_type,
+           {_FD_HASH_SQL} AS content_hash
+    FROM events
+  )
+) WHERE rn = 1
+"""
+
+
+@register("dedup_first_occurrence", ORACLE_FIRST_DEDUP)
+def q_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest (ts, event_id) copy per content key — the batch
+    authority for the streaming dropDuplicatesWithinWatermark deployment
+    (streaming/stream_dedup.py). Content key = portable hash of
+    (event_type, value), sharing phash with exact dedup."""
+    from .streaming.stream_dedup import keep_first
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = keep_first(ev, ["event_type", "value"], ts_col="ts", id_col="event_id")
+    return out.select("event_id", "user_id", "event_type", "content_hash")
