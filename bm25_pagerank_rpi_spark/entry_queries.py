@@ -1165,6 +1165,8 @@ from . import entry_queries_sketches  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_UNSEEN_FIRST = [
+    # round-4 (this round) additions: never in any CORRECTNESS_r*.json
+    "dedup_first_occurrence",
     # round-4.6 additions: never in any CORRECTNESS_r*.json
     "classic_tfidf_topk",
     "dfi_topk",
