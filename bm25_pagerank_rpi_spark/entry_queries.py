@@ -1154,6 +1154,7 @@ from . import entry_queries_eval  # noqa: E402,F401
 from . import entry_queries_context  # noqa: E402,F401
 from . import entry_queries_rankers  # noqa: E402,F401
 from . import entry_queries_sketches  # noqa: E402,F401
+from . import entry_queries_extras  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1165,6 +1166,13 @@ from . import entry_queries_sketches  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_UNSEEN_FIRST = [
+    # round-4.7 additions: never in any CORRECTNESS_r*.json
+    "term_vectors",
+    "index_stats",
+    "common_terms_topk",
+    "phrase_prefix_topk",
+    "hybrid_linear_topk",
+    "dsir_topk",
     # round-4 (this round) additions: never in any CORRECTNESS_r*.json
     "dedup_first_occurrence",
     # round-4.6 additions: never in any CORRECTNESS_r*.json

@@ -1,0 +1,336 @@
+"""Driver pairs for the round-4 extras: index introspection
+(term_vectors / index_stats), CommonTermsQuery, match_phrase_prefix,
+min-max linear hybrid fusion, and DSIR importance selection.
+
+Each pair follows the house rules: floats rounded to 6 dp on both
+sides, ranks computed over the ROUNDED score with doc_id tie-break,
+arrays string-joined for engine-portable value hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .entry_queries import _docs, _queries_df, _r, _sql_skeleton, register
+from .entry_queries_pipeline import _COS
+from .operators import introspect, phrase, retrieval_plus, scorer, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# term_vectors — ES _termvectors?term_statistics=true over three docs
+# ---------------------------------------------------------------------------
+
+_TV_DOC_IDS = [1, 2, 3]
+
+ORACLE_TERM_VECTORS = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, toks[i] AS term, (i - 1)::INT AS pos
+  FROM tok, unnest(generate_series(1, len(toks))) AS g(i)
+),
+local AS (
+  SELECT doc_id, term, count(*)::INT AS tf,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+  FROM occ WHERE doc_id IN ({", ".join(str(i) for i in _TV_DOC_IDS)})
+  GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id)::INT AS df, count(*)::BIGINT AS ttf
+  FROM occ WHERE term IN (SELECT DISTINCT term FROM local)
+  GROUP BY term
+)
+SELECT l.doc_id, l.term, l.tf, l.positions, s.df, s.ttf
+FROM local l JOIN stats s USING (term)
+"""
+
+
+@register("term_vectors", ORACLE_TERM_VECTORS)
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = introspect.term_vectors(_docs(spark, sf_dir), _TV_DOC_IDS)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.array_join(
+            F.transform("positions", lambda p: p.cast("string")), ","
+        ).alias("positions"),
+        "df",
+        "ttf",
+    )
+
+
+# ---------------------------------------------------------------------------
+# index_stats — the _stats / CheckIndex corpus summary
+# ---------------------------------------------------------------------------
+
+ORACLE_INDEX_STATS = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+ds AS (
+  SELECT count(*)::BIGINT AS doc_count,
+         sum(CASE WHEN dl = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_docs,
+         sum(dl)::BIGINT AS total_tokens,
+         round(avg(dl), 6) AS avg_doc_length,
+         max(dl)::INT AS max_doc_length
+  FROM d
+),
+occ AS (
+  SELECT doc_id, toks[i] AS term
+  FROM tok, unnest(generate_series(1, len(toks))) AS g(i)
+),
+t AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+ts AS (
+  SELECT count(DISTINCT term)::BIGINT AS distinct_terms, max(tf)::INT AS max_tf
+  FROM t
+)
+SELECT doc_count, empty_docs, total_tokens, distinct_terms,
+       avg_doc_length, max_doc_length, max_tf
+FROM ds CROSS JOIN ts
+"""
+
+
+@register("index_stats", ORACLE_INDEX_STATS)
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = introspect.index_stats(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("empty_docs").cast("long").alias("empty_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("distinct_terms").cast("long").alias("distinct_terms"),
+        _r(F.col("avg_doc_length")).alias("avg_doc_length"),
+        F.col("max_doc_length").cast("int").alias("max_doc_length"),
+        F.col("max_tf").cast("int").alias("max_tf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# common_terms_topk — Lucene CommonTermsQuery: 'dup' is the only rare
+# term at every sf (df ~5% vs ~78% for the rest), so the gate admits
+# only dup-containing docs while hash/table still contribute score.
+# ---------------------------------------------------------------------------
+
+CT_QUERY_TEXT = "dup hash table zzzabsent"
+_CT_TERMS = CT_QUERY_TEXT.split()
+_CT_CUTOFF = 0.5
+
+ORACLE_COMMON_TERMS = _sql_skeleton(_CT_TERMS) + f"""
+, pq AS (
+  SELECT q.term,
+         (td.df IS NOT NULL
+          AND td.df < {_CT_CUTOFF} * (SELECT doc_count FROM stats)) AS is_rare
+  FROM (SELECT DISTINCT term FROM qterms) q
+  LEFT JOIN term_df td USING (term)
+),
+nr AS (SELECT count(*) FILTER (WHERE is_rare) AS n_rare FROM pq),
+gate AS (SELECT term FROM pq CROSS JOIN nr WHERE is_rare OR n_rare = 0),
+admitted AS (
+  SELECT DISTINCT doc_id FROM doc_tf WHERE term IN (SELECT term FROM gate)
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, round(bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC)::INT AS rank
+  FROM perdoc JOIN admitted USING (doc_id)
+) WHERE rank <= 20
+"""
+
+
+@register("common_terms_topk", ORACLE_COMMON_TERMS)
+def q_common_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qdf = spark.createDataFrame(
+        [("q1", CT_QUERY_TEXT)], "query_id string, text string"
+    )
+    out = retrieval_plus.common_terms_topk(
+        _docs(spark, sf_dir), qdf, cutoff_frequency=_CT_CUTOFF, k=20
+    )
+    return out.select("doc_id", _r("bm25").alias("bm25"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix — "hash t" expands to "hash table" / "hash the"
+# ---------------------------------------------------------------------------
+
+_PP_FIXED = ["hash"]
+_PP_PREFIX = "t"
+
+ORACLE_PHRASE_PREFIX = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(t) AS doc_length,
+         CASE WHEN len(t) >= 2 THEN
+           len(list_filter(range(1, len(t)),
+               i -> t[i] = '{_PP_FIXED[0]}' AND t[i+1] LIKE '{_PP_PREFIX}%'))
+         ELSE 0 END AS phrase_tf
+  FROM toks
+),
+stats AS (SELECT count(*) AS doc_count, avg(doc_length) AS avg_doc_length FROM m),
+matched AS (SELECT * FROM m WHERE phrase_tf > 0),
+pdf AS (SELECT count(*) AS phrase_df FROM matched),
+scored AS (
+  SELECT doc_id, phrase_tf,
+         round(ln(doc_count::DOUBLE / (phrase_df + 1)) * (phrase_tf * {K1 + 1.0}) /
+               (phrase_tf + {K1} * ({1.0 - B} + {B} * (doc_length / avg_doc_length))),
+               6) AS bm25
+  FROM matched CROSS JOIN stats CROSS JOIN pdf
+)
+SELECT doc_id, phrase_tf, bm25, rank FROM (
+  SELECT doc_id, phrase_tf, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+@register("phrase_prefix_topk", ORACLE_PHRASE_PREFIX)
+def q_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = phrase.phrase_prefix_topk(
+        _docs(spark, sf_dir), _PP_FIXED, _PP_PREFIX, k=10**9
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        out.select("doc_id", "phrase_tf", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_linear_topk — alpha-blend of min-max-normalized BM25 + cosine
+# legs (the score-space sibling of hybrid_rrf_topk). Legs are rounded to
+# 6 dp BEFORE normalization on both sides so min/max boundaries agree.
+# ---------------------------------------------------------------------------
+
+_LIN_LEG_K = 30
+_LIN_ALPHA = 0.7
+
+ORACLE_HYBRID_LINEAR = _sql_skeleton(
+    "key value hash join table table spark zzzabsent".split()
+) + f"""
+, bm25_top AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, round(bm25, 6) AS s,
+           row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+    FROM perdoc
+  ) WHERE rank <= {_LIN_LEG_K}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ann_top AS (
+  SELECT doc_id, s FROM (
+    SELECT e.vec_id AS doc_id, round({_COS.format(a='qv', b='e.v')}, 6) AS s,
+           row_number() OVER (
+             ORDER BY round({_COS.format(a='qv', b='e.v')}, 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+  ) WHERE rank <= {_LIN_LEG_K}
+),
+bn AS (
+  SELECT doc_id,
+         {_LIN_ALPHA} * (CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END)
+           AS contrib
+  FROM (SELECT doc_id, s, min(s) OVER () AS mn, max(s) OVER () AS mx FROM bm25_top)
+),
+an AS (
+  SELECT doc_id,
+         {1.0 - _LIN_ALPHA} * (CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END)
+           AS contrib
+  FROM (SELECT doc_id, s, min(s) OVER () AS mn, max(s) OVER () AS mx FROM ann_top)
+),
+un AS (SELECT * FROM bn UNION ALL SELECT * FROM an),
+f AS (
+  SELECT doc_id, sum(contrib) AS fused, count(*)::INT AS n_systems
+  FROM un GROUP BY doc_id
+)
+SELECT doc_id, fused, n_systems, rank FROM (
+  SELECT doc_id, round(fused, 6) AS fused, n_systems,
+         row_number() OVER (ORDER BY round(fused, 6) DESC, doc_id ASC)::INT AS rank
+  FROM f
+) WHERE rank <= 20
+"""
+
+
+@register("hybrid_linear_topk", ORACLE_HYBRID_LINEAR)
+def q_hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs),
+        dlen,
+        scorer.corpus_stats(dlen),
+        _queries_df(spark),
+    ).select("query_id", "doc_id", _r("bm25").alias("bm25"))
+    bm25_leg = scorer.topk(sc, _LIN_LEG_K).select(
+        "query_id", "doc_id", F.col("bm25").alias("score")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann_leg = similarity.brute_force_topk(emb, [0], k=_LIN_LEG_K).select(
+        F.lit("q1").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        _r("cos").alias("score"),
+    )
+    out = retrieval_plus.linear_fusion(
+        [bm25_leg, ann_leg], [_LIN_ALPHA, 1.0 - _LIN_ALPHA], k=20
+    )
+    return out.select("doc_id", _r("fused").alias("fused"), "n_systems", "rank")
+
+
+# ---------------------------------------------------------------------------
+# dsir_topk — DSIR importance selection, target = src7/src8 documents
+# ---------------------------------------------------------------------------
+
+_DSIR_SOURCES = ("src7", "src8")
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, (source IN ('{_DSIR_SOURCES[0]}', '{_DSIR_SOURCES[1]}')) AS is_target,
+         t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+dtf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+counts AS (
+  SELECT term, count(*) AS raw_n,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT sum(raw_n)::DOUBLE AS raw_total, sum(tgt_n)::DOUBLE AS tgt_total,
+         count(*)::DOUBLE AS vocab
+  FROM counts
+),
+ratio AS (
+  SELECT term,
+         ln((tgt_n + 1.0) / (tgt_total + vocab))
+           - ln((raw_n + 1.0) / (raw_total + vocab)) AS log_ratio
+  FROM counts CROSS JOIN tot
+),
+wgt AS (
+  SELECT doc_id, sum(tf * log_ratio) AS weight
+  FROM dtf JOIN ratio USING (term) GROUP BY doc_id
+)
+SELECT doc_id, weight, rank FROM (
+  SELECT doc_id, round(weight, 6) AS weight,
+         row_number() OVER (ORDER BY round(weight, 6) DESC, doc_id ASC)::INT AS rank
+  FROM wgt
+) WHERE rank <= 20
+"""
+
+
+@register("dsir_topk", ORACLE_DSIR)
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.dsir_topk(
+        _docs(spark, sf_dir),
+        F.col("source").isin(*_DSIR_SOURCES),
+        k=20,
+        alpha=1.0,
+    )
+    return out.select("doc_id", _r("weight").alias("weight"), "rank")

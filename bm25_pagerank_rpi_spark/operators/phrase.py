@@ -395,3 +395,58 @@ def ordered_span_topk_from_index(
     ).withColumnRenamed("doc_id", "doc_int")
     meta = cat.doc_meta().select("doc_int", "doc_id")
     return ranked.join(meta, "doc_int").select("doc_id", "min_span", "rank")
+
+
+def phrase_prefix_tf_col(tokens: Column, fixed_terms: list[str], prefix: str) -> Column:
+    """Sliding-window count of phrase-prefix occurrences: positions i
+    where ``tokens[i+k] == fixed_terms[k]`` for every fixed term and the
+    NEXT token starts with ``prefix``. The Catalyst twin of
+    phrase_tf_col with the last slot relaxed to a prefix test —
+    match_phrase_prefix's matching rule with unlimited expansions (the
+    31-term driver vocabulary makes ES's max_expansions=50 cap a
+    no-op; a capped variant would pre-rank expansions by df)."""
+    if not prefix:
+        raise ValueError("phrase prefix must be non-empty")
+    n = len(fixed_terms) + 1
+
+    def window_matches(i: Column) -> Column:
+        cond = F.get(tokens, i + n - 1).startswith(F.lit(prefix))
+        for k, w in enumerate(fixed_terms):
+            cond = (F.get(tokens, i + k) == F.lit(w)) & cond
+        return cond
+
+    counted = F.size(F.filter(F.sequence(F.lit(0), F.size(tokens) - n), window_matches))
+    return F.when(F.size(tokens) >= n, counted).otherwise(F.lit(0)).cast("int")
+
+
+def phrase_prefix_topk(
+    docs: DataFrame,
+    fixed_terms: list[str],
+    prefix: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, phrase_tf, bm25, rank) — ``match_phrase_prefix``
+    (search-as-you-type): the phrase ``fixed_terms`` followed by any
+    token starting with ``prefix``. Matching counts EVERY expansion
+    occurrence into one pseudo-term tf (so "hash t" counts "hash table"
+    and "hash the" windows alike), then scores the pseudo-term with the
+    same BM25 tail phrase_topk uses — the score-unified treatment of
+    ES's expanded SpanNear rewrite.
+
+    Scale shape identical to phrase_topk: tf and |d| are row-local
+    Catalyst expressions, the tf>0 filter prunes scan-side, the
+    phrase-df and corpus stats fold in as 1-row broadcasts. Zero
+    Python, zero corpus-sized shuffles."""
+    toks = tokens_col(text_col)
+    matched = docs.select(
+        F.col(id_col).alias("doc_id"),
+        phrase_prefix_tf_col(toks, fixed_terms, prefix).alias("phrase_tf"),
+        F.size(toks).alias("doc_length"),
+    ).filter(F.col("phrase_tf") > 0)
+    stats = docs.select(F.size(toks).alias("doc_length")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.avg("doc_length").alias("avg_doc_length"),
+    )
+    return _score_and_rank(matched, stats, k)

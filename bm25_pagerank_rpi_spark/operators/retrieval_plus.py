@@ -2312,3 +2312,142 @@ def phrase_suggest(
         .filter(F.col("rank") <= n)
         .select("suggestion", "total_dist", "lm_score", "n_matching_docs", "rank")
     )
+
+
+def common_terms_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    cutoff_frequency: float = 0.5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, bm25, rank) — Lucene ``CommonTermsQuery``
+    semantics (the pre-BM25-era stopword killer, still the cheapest
+    recall/cost knob on high-df terms): query terms are split by
+    document frequency at ``cutoff_frequency * doc_count``; documents
+    must match at least one LOW-frequency (rare) term to become
+    candidates, while high-frequency (common) terms contribute to the
+    BM25 score but cannot admit a document alone. When the query has no
+    rare matching term at all, the gate degenerates to the plain
+    any-term disjunction (Lucene's fallback when all terms are common).
+
+    Scoring is the exact A7 BM25 over ALL query terms on the gated
+    candidate set — same multiplicity and missing-idf-skip semantics as
+    bm25_topk (reference features.go:127-129, features_test.go:498-513).
+
+    Scale shape: the rare/common split is a per-term relation (bounded
+    by #distinct query terms) computed from the same doc_tf stream the
+    scorer aggregates — no extra corpus scan; the "no rare term"
+    fallback folds in as a 1-row n_rare broadcast so the whole plan
+    stays data-independent (no driver-side branching on df values). The
+    candidate gate is one broadcast semi-join against the scored
+    relation — at 10^12 turns the gate REMOVES work (common-only docs
+    never reach the top-k window)."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    stats = scorer.corpus_stats(dlen)
+    scored = scorer.score_candidates(
+        dtf, dlen, stats, queries.select("query_id", "text")
+    ).select("query_id", "doc_id", "bm25")
+
+    qterms = (
+        scorer.query_term_occurrences(queries.select("query_id", "text"))
+        .select("query_id", "term")
+        .distinct()
+    )
+    # df of each query term over the corpus: filter-before-agg, so the
+    # exchange carries only the query terms' postings.
+    tdf = (
+        dtf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    per_q = (
+        qterms.join(tdf, "term", "left")
+        .crossJoin(F.broadcast(stats.select("doc_count")))
+        .select(
+            "query_id",
+            "term",
+            (
+                F.col("df").isNotNull()
+                & (
+                    F.col("df").cast("double")
+                    < F.lit(float(cutoff_frequency)) * F.col("doc_count").cast("double")
+                )
+            ).alias("is_rare"),
+        )
+    )
+    n_rare = per_q.groupBy("query_id").agg(
+        F.sum(F.col("is_rare").cast("int")).alias("n_rare")
+    )
+    gate_terms = (
+        per_q.join(F.broadcast(n_rare), "query_id")
+        .filter(F.col("is_rare") | (F.col("n_rare") == 0))
+        .select("query_id", "term")
+    )
+    admitted = (
+        dtf.select("term", "doc_id")
+        .join(F.broadcast(gate_terms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    kept = scored.join(admitted, ["query_id", "doc_id"], "left_semi")
+    return scorer.topk(kept, k)
+
+
+def linear_fusion(
+    legs: list[DataFrame],
+    weights: list[float],
+    k: int = 20,
+) -> DataFrame:
+    """(query_id, doc_id, fused, n_systems, rank) — convex score fusion
+    of heterogeneous retrieval legs with per-leg min-max normalization:
+    each leg's scores are rescaled to [0, 1] WITHIN its (query, leg)
+    pool (a constant-score pool maps to 1.0), then combined as
+    sum_i w_i * norm_i with a document missing from a leg contributing
+    0 for it. This is the score-space sibling of rrf_fusion — the
+    standard "alpha-blend" hybrid every vector store exposes
+    (weights=[alpha, 1-alpha] over a BM25 leg and a cosine leg).
+
+    Each leg must carry (query_id, doc_id, score). Scale shape: legs
+    are post-truncation top-n pools (#queries x n rows), so per-leg
+    min/max is a tiny hash agg broadcast back onto its leg; the union +
+    fused agg + per-query window are all corpus-independent."""
+    if not legs:
+        raise ValueError("linear_fusion needs at least one leg")
+    if len(legs) != len(weights):
+        raise ValueError("one weight per leg")
+    parts = []
+    for w_i, leg in zip(weights, legs):
+        pool = leg.select("query_id", "doc_id", F.col("score").cast("double").alias("s"))
+        mm = pool.groupBy("query_id").agg(
+            F.min("s").alias("lo"), F.max("s").alias("hi")
+        )
+        parts.append(
+            pool.join(F.broadcast(mm), "query_id").select(
+                "query_id",
+                "doc_id",
+                (
+                    F.lit(float(w_i))
+                    * F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+                        (F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                    )
+                ).alias("contrib"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("fused"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("fused", 6)), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "fused", "n_systems", "rank")
+    )

@@ -634,3 +634,92 @@ def quality_stratified_sample(
         .filter(h < thresh)
         .select(id_col, F.round("cross_entropy", 6).alias("cross_entropy"), "bucket")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, weight) — DSIR-style data selection via importance
+    weights (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by how much more
+    likely its unigrams are under the TARGET distribution (docs matching
+    ``target_pred``) than under the RAW pool, weight(d) = sum over token
+    occurrences of log p_target(w) - log p_raw(w), both add-``alpha``
+    smoothed over the raw pool's vocabulary. High weight = "looks like
+    the target domain"; downstream callers resample/top-k by it.
+
+    The paper hashes n-grams into 10^4 buckets so the feature space is
+    fixed-size; here the raw vocabulary plays that role directly (the
+    driver corpus has 31 terms; at web scale swap the term key for
+    ``phash(term) % n_buckets`` — same plan shape, bounded key space).
+
+    Scale shape: ONE tokenize+explode pass feeding (a) the doc-term tf
+    agg and (b) two vocab-keyed count aggs (target-filtered and raw);
+    the per-term log-ratio relation is vocabulary-sized and joins back
+    onto doc_tf by term (broadcastable when hashed to buckets); final
+    doc-keyed sum. No quadratics, no Python, map-side partials on every
+    agg."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        tokens_col(text_col).alias("toks"),
+    )
+    occ = toks.select(
+        "doc_id", "is_target", F.explode("toks").alias("term")
+    )
+    dtf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = occ.groupBy("term").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.col("is_target").cast("long")).alias("tgt_n"),
+    )
+    totals = counts.agg(
+        F.sum("raw_n").alias("raw_total"),
+        F.sum("tgt_n").alias("tgt_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    a = F.lit(float(alpha))
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log(
+                (F.col("tgt_n").cast("double") + a)
+                / (F.col("tgt_total").cast("double") + a * F.col("vocab"))
+            )
+            - F.log(
+                (F.col("raw_n").cast("double") + a)
+                / (F.col("raw_total").cast("double") + a * F.col("vocab"))
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        dtf.join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf").cast("double") * F.col("log_ratio")).alias("weight"))
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int = 20,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, weight, rank) — the top-k selection tail over
+    dsir_importance: the documents from the raw pool most like the
+    target domain. Deterministic tie-break on doc_id; one global
+    window over the (already tiny) agg output — at scale replace with
+    the two-phase quantile select pack_shards uses if k grows beyond
+    driver-window comfort."""
+    w = Window.orderBy(F.desc(F.round("weight", 6)), F.asc("doc_id"))
+    return (
+        dsir_importance(docs, target_pred, alpha, id_col, text_col)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "weight", "rank")
+    )

@@ -289,3 +289,47 @@ def test_ordered_span_index_path_parity(spark, corpus, tmp_path):
     raw = {(r.doc_id, r.min_span) for r in ordered_span_topk(docs, terms, window=30, k=50).collect()}
     idx = {(r.doc_id, r.min_span) for r in ordered_span_topk_from_index(cat, terms, window=30, k=50).collect()}
     assert raw == idx
+
+
+# ---------------------------------------------------------------------------
+# phrase_prefix_topk (match_phrase_prefix)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_prefix_counts_expansions(spark):
+    from bm25_pagerank_rpi_spark.operators.phrase import phrase_prefix_topk
+
+    rows = [
+        (1, "hash table hash the hash x"),  # 2 windows: table, the
+        (2, "hash join"),                   # no t-expansion
+        (3, "table hash"),                  # wrong order
+        (4, "hash t"),                      # bare 't' matches prefix 't'
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in phrase_prefix_topk(docs, ["hash"], "t", k=10).collect()}
+    assert set(got) == {1, 4}
+    assert got[1].phrase_tf == 2
+    assert got[4].phrase_tf == 1
+
+
+def test_phrase_prefix_overlapping_and_short(spark):
+    from bm25_pagerank_rpi_spark.operators.phrase import phrase_prefix_topk
+
+    rows = [(1, "a ta ta"), (2, "ta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # fixed [] is invalid shape here (needs >= 1 window slot) -- use
+    # single fixed term 'ta' with prefix 'ta': "ta ta" window in doc 1
+    got = {r.doc_id: r for r in phrase_prefix_topk(docs, ["ta"], "ta", k=10).collect()}
+    assert set(got) == {1}
+    assert got[1].phrase_tf == 1  # doc 2 is shorter than the window
+
+
+def test_phrase_prefix_empty_prefix_raises(spark):
+    import pytest
+
+    from bm25_pagerank_rpi_spark.operators.phrase import phrase_prefix_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_prefix_topk(docs, ["a"], "", k=5)

@@ -1244,3 +1244,97 @@ def test_phrase_suggest_collation_prunes(spark):
     rows2 = rp.phrase_suggest(docs, ["alpha", "beta"], per_term=3, n=5).collect()
     first = min(rows2, key=lambda r: r["rank"])
     assert first["suggestion"] == "alpha beta" and first["total_dist"] == 0
+
+
+# ---------------------------------------------------------------------------
+# common_terms_topk (Lucene CommonTermsQuery gating)
+# ---------------------------------------------------------------------------
+
+
+def _ct_corpus(spark):
+    # 'x' appears in 1/5 docs (rare under cutoff 0.5); 'cm' in all 5
+    rows = [
+        (1, "cm x y"),
+        (2, "cm cm cm"),
+        (3, "cm z"),
+        (4, "cm w"),
+        (5, "cm v"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_common_terms_rare_gate(spark):
+    docs = _ct_corpus(spark)
+    q = spark.createDataFrame([("q1", "cm x")], "query_id string, text string")
+    got = rp.common_terms_topk(docs, q, cutoff_frequency=0.5, k=10).collect()
+    # only doc 1 contains the rare term 'x' -> sole candidate, even
+    # though doc 2 has the highest cm tf
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_common_terms_all_common_fallback(spark):
+    docs = _ct_corpus(spark)
+    q = spark.createDataFrame([("q1", "cm")], "query_id string, text string")
+    got = rp.common_terms_topk(docs, q, cutoff_frequency=0.5, k=10).collect()
+    # no rare matching term -> plain disjunction over all terms
+    assert sorted(r.doc_id for r in got) == [1, 2, 3, 4, 5]
+
+
+def test_common_terms_scores_all_terms(spark):
+    # scoring includes the common terms on the gated candidates: 'cm'
+    # appears in every doc, so idf(cm) = ln(5/6) < 0 and the two-term
+    # query scores strictly BELOW the rare-term-only query — proving the
+    # common term reached the scorer instead of being dropped
+    docs = _ct_corpus(spark)
+    q_both = spark.createDataFrame(
+        [("q1", "cm x")], "query_id string, text string"
+    )
+    q_rare = spark.createDataFrame(
+        [("q1", "x")], "query_id string, text string"
+    )
+    s_both = rp.common_terms_topk(docs, q_both, 0.5, k=10).collect()[0].bm25
+    s_rare = rp.common_terms_topk(docs, q_rare, 0.5, k=10).collect()[0].bm25
+    assert s_both < s_rare - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# linear_fusion (min-max alpha-blend)
+# ---------------------------------------------------------------------------
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double"
+    )
+
+
+def test_linear_fusion_normalization_and_weights(spark):
+    a = _leg(spark, [("q1", 1, 10.0), ("q1", 2, 5.0), ("q1", 3, 0.0)])
+    b = _leg(spark, [("q1", 2, 0.9), ("q1", 3, 0.1)])
+    got = {
+        r.doc_id: r
+        for r in rp.linear_fusion([a, b], [0.6, 0.4], k=10).collect()
+    }
+    # doc1: 0.6*1.0 + missing = 0.6 ; doc2: 0.6*0.5 + 0.4*1.0 = 0.7
+    assert abs(got[1].fused - 0.6) < 1e-12 and got[1].n_systems == 1
+    assert abs(got[2].fused - 0.7) < 1e-12 and got[2].n_systems == 2
+    # doc3: 0.6*0.0 + 0.4*0.0 = 0.0, present in both legs
+    assert abs(got[3].fused - 0.0) < 1e-12 and got[3].n_systems == 2
+    assert got[2].rank == 1 and got[1].rank == 2
+
+
+def test_linear_fusion_constant_leg_maps_to_one(spark):
+    a = _leg(spark, [("q1", 1, 7.0), ("q1", 2, 7.0)])
+    got = {r.doc_id: r for r in rp.linear_fusion([a], [1.0], k=10).collect()}
+    assert abs(got[1].fused - 1.0) < 1e-12
+    assert abs(got[2].fused - 1.0) < 1e-12
+
+
+def test_linear_fusion_validates_args(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        rp.linear_fusion([], [], k=5)
+    a = _leg(spark, [("q1", 1, 1.0)])
+    with pytest.raises(ValueError):
+        rp.linear_fusion([a], [0.5, 0.5], k=5)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from bm25_pagerank_rpi_spark.operators import textstats
 
@@ -336,3 +337,49 @@ def test_quality_stratified_sample(spark):
     assert lo <= hi
     with pytest.raises(ValueError):
         ts.quality_stratified_sample(docs, [bound], [1.0])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (dsir_importance / dsir_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from bm25_pagerank_rpi_spark.operators.textstats import dsir_topk
+
+    rows = [
+        # target domain: talks about "code bug fix"
+        (1, "code bug fix code", "tgt"),
+        (2, "bug fix code patch", "tgt"),
+        # raw pool: one target-like doc, one off-domain doc
+        (3, "code bug fix", "raw"),
+        (4, "pasta recipe basil pasta", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = dsir_topk(docs, F.col("source") == "tgt", k=10)
+    ranked = [r.doc_id for r in got.orderBy("rank").collect()]
+    # target-like raw doc must outrank the off-domain doc
+    assert ranked.index(3) < ranked.index(4)
+    w = {r.doc_id: r.weight for r in got.collect()}
+    assert w[3] > 0 > w[4]
+
+
+def test_dsir_importance_closed_form(spark):
+    import math
+
+    from bm25_pagerank_rpi_spark.operators.textstats import dsir_importance
+
+    rows = [(1, "a a b", True), (2, "b c", False)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r.doc_id: r.weight
+        for r in dsir_importance(docs, F.col("tgt")).collect()
+    }
+    # raw: a=2 b=2 c=1 (R=5), tgt: a=2 b=1 c=0 (T=3), V=3, alpha=1
+    def lr(t, r):
+        return math.log((t + 1) / (3 + 3)) - math.log((r + 1) / (5 + 3))
+
+    exp1 = 2 * lr(2, 2) + 1 * lr(1, 2)
+    exp2 = 1 * lr(1, 2) + 1 * lr(0, 1)
+    assert abs(got[1] - exp1) < 1e-12
+    assert abs(got[2] - exp2) < 1e-12
