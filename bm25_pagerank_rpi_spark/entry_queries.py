@@ -1169,6 +1169,8 @@ _DRIVER_UNSEEN_FIRST = [
     # round-4.7 additions: never in any CORRECTNESS_r*.json
     "term_vectors",
     "index_stats",
+    "term_vectors_from_index",
+    "index_stats_from_index",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

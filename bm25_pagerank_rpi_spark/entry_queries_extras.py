@@ -334,3 +334,80 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=1.0,
     )
     return out.select("doc_id", _r("weight").alias("weight"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Indexed introspection twins: the forward term-vector store + catalog
+# statistics. Shares the cached v3 driver index (resume adds the forward
+# stage once); documents doc_id n <-> catalog doc_id conv_{n//8:08d}:{n%8}.
+# ---------------------------------------------------------------------------
+
+ORACLE_TERM_VECTORS_IDX = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, toks[i] AS term
+  FROM tok, unnest(generate_series(1, len(toks))) AS g(i)
+),
+local AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM occ WHERE doc_id IN ({", ".join(str(i) for i in _TV_DOC_IDS)})
+  GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id)::INT AS df, count(*)::BIGINT AS ttf
+  FROM occ WHERE term IN (SELECT DISTINCT term FROM local)
+  GROUP BY term
+)
+SELECT l.doc_id, l.term, l.tf, s.df, s.ttf
+FROM local l JOIN stats s USING (term)
+"""
+
+
+def _driver_index(spark: SparkSession, sf_dir: str):
+    import hashlib
+
+    from .plans.index_build import build_forward_index, build_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/driver_wand_index_v3_{tag}"
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cat = build_index(spark, t, idx_dir, n_buckets=8)
+    return build_forward_index(cat)
+
+
+def _cat_doc_id(n: int) -> str:
+    return f"conv_{n // 8:08d}:{n % 8}"
+
+
+@register("term_vectors_from_index", ORACLE_TERM_VECTORS_IDX)
+def q_term_vectors_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_index(spark, sf_dir)
+    out = introspect.term_vectors_from_index(
+        cat, [_cat_doc_id(n) for n in _TV_DOC_IDS]
+    )
+    src = (
+        F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long") * 8
+        + F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    )
+    return out.select(
+        src.alias("doc_id"), "term", "tf", "df", "ttf"
+    )
+
+
+@register("index_stats_from_index", ORACLE_INDEX_STATS)
+def q_index_stats_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _driver_index(spark, sf_dir)
+    out = introspect.index_stats_from_index(cat)
+    return out.select(
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("empty_docs").cast("long").alias("empty_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("distinct_terms").cast("long").alias("distinct_terms"),
+        _r(F.col("avg_doc_length")).alias("avg_doc_length"),
+        F.col("max_doc_length").cast("int").alias("max_doc_length"),
+        F.col("max_tf").cast("int").alias("max_tf"),
+    )

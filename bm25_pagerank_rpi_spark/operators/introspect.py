@@ -114,3 +114,102 @@ def index_stats(
         "max_doc_length",
         "max_tf",
     )
+
+
+def term_vectors_from_index(cat, doc_ids: list[str]) -> DataFrame:
+    """(doc_id, term, tf[, positions], df, ttf) — the indexed serving
+    path of term_vectors: reads the forward ``term_vectors`` table
+    (plans.index_build.build_forward_index) partition-pruned to the
+    requested docs' buckets, df from the persisted terms table, ttf from
+    a term-bucket-pruned postings aggregation. NO corpus rescan — the
+    raw-path version re-tokenizes the whole corpus for its statistics;
+    this one touches request-sized partitions plus the needed terms'
+    postings only.
+
+    Planning state collected on the driver is bounded by the request:
+    the requested docs' doc_ints (≤ len(doc_ids)) and the needed terms'
+    bucket ids (≤ index n_buckets). Lucene parity note: like Lucene's
+    docFreq, df/ttf come from the live segment statistics and do NOT
+    subtract tombstoned docs (deletes only mask requested rows here;
+    stats refresh at merge/compaction)."""
+    if not doc_ids:
+        raise ValueError("term_vectors_from_index requires at least one doc_id")
+    mf = cat.read_manifest()
+    n_doc_buckets = int(
+        mf["stages"]["term_vectors"]["metrics"]["n_doc_buckets"]
+    )
+    meta = (
+        cat.doc_meta()
+        .filter(F.col("doc_id").isin(list(doc_ids)))
+        .select("doc_id", "doc_int")
+    )
+    # bounded planning collect: one row per requested doc
+    ints = [r.doc_int for r in meta.collect()]
+    if not ints:
+        return cat.spark.createDataFrame(
+            [], "doc_id string, term string, tf int, df int, ttf long"
+        )
+    dbuckets = sorted({i % n_doc_buckets for i in ints})
+    fwd = cat.read("term_vectors").filter(
+        F.col("doc_bucket").isin(dbuckets) & F.col("doc_int").isin(ints)
+    )
+    if cat.n_deletes():
+        fwd = fwd.join(F.broadcast(cat.deletes()), "doc_int", "left_anti")
+    needed = fwd.select("term").distinct()
+    tinfo = (
+        cat.terms()
+        .join(F.broadcast(needed), "term")
+        .select("term", F.col("df").cast("int").alias("df"), "bucket")
+    )
+    # bounded planning collect: needed terms' bucket ids (≤ n_buckets)
+    tbuckets = sorted(
+        r.bucket for r in tinfo.select("bucket").distinct().collect()
+    )
+    post = (
+        cat.postings()
+        .filter(F.col("bucket").isin(tbuckets))
+        .join(F.broadcast(needed), "term")
+    )
+    ttf = post.groupBy("term").agg(F.sum("tf").cast("long").alias("ttf"))
+    out_cols = ["doc_id", "term", "tf"]
+    if "positions" in fwd.columns:
+        out_cols.append("positions")
+    out_cols += ["df", "ttf"]
+    return (
+        fwd.join(F.broadcast(meta), "doc_int")
+        .join(F.broadcast(tinfo.select("term", "df")), "term")
+        .join(F.broadcast(ttf), "term")
+        .select(*out_cols)
+    )
+
+
+def index_stats_from_index(cat) -> DataFrame:
+    """1-row (doc_count, empty_docs, total_tokens, distinct_terms,
+    avg_doc_length, max_doc_length, max_tf) — index_stats served from
+    the catalog's persisted tables instead of a corpus rescan:
+    doc-level figures from doc_meta (a metadata-sized scan of one int
+    column), distinct_terms = |terms| (the vocabulary table), max_tf
+    from a single-column columnar postings scan. The raw-path twin
+    re-tokenizes every document; this touches zero text."""
+    doc_side = cat.doc_meta().select("doc_length").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(F.when(F.col("doc_length") == 0, 1).otherwise(0)).alias("empty_docs"),
+        F.sum("doc_length").cast("long").alias("total_tokens"),
+        F.avg("doc_length").alias("avg_doc_length"),
+        F.max("doc_length").alias("max_doc_length"),
+    )
+    term_side = cat.terms().agg(F.count(F.lit(1)).alias("distinct_terms"))
+    tf_side = cat.postings().agg(F.max("tf").cast("int").alias("max_tf"))
+    return (
+        doc_side.crossJoin(F.broadcast(term_side))
+        .crossJoin(F.broadcast(tf_side))
+        .select(
+            "doc_count",
+            "empty_docs",
+            "total_tokens",
+            "distinct_terms",
+            "avg_doc_length",
+            "max_doc_length",
+            "max_tf",
+        )
+    )

@@ -1056,3 +1056,51 @@ def build_docnorm_index(cat: IndexCatalog, resume: bool = True) -> IndexCatalog:
     out, n = cat.write_counted(norms, "docnorms")
     cat.record_stage("docnorms", out, n, time.time() - t0, {})
     return cat
+
+
+def build_forward_index(
+    cat: IndexCatalog, n_doc_buckets: int = 16, resume: bool = True
+) -> IndexCatalog:
+    """Optional add-on build stage: the FORWARD index (per-document term
+    vectors — Lucene's stored term-vector files, the inverse orientation
+    of the postings table). Writes ``term_vectors`` (doc_int, term, tf
+    [, positions], doc_bucket) partitioned by doc_bucket =
+    pmod(doc_int, n_doc_buckets), so a by-document fetch
+    (operators.introspect.term_vectors_from_index) prunes to the
+    requested docs' partitions instead of scanning term-ordered
+    postings end to end.
+
+    Reads ONLY the persisted postings table — one re-orientation shuffle
+    keyed by doc bucket, no corpus rescan, no Python. Inherits the
+    positions column automatically when the index was built
+    ``with_positions`` (the reference posting contract, types.go:92-96).
+    Composes with resume like the other add-on stages."""
+    if resume and cat.stage_complete("term_vectors"):
+        return cat
+    spark = cat.spark
+    t0 = time.time()
+    post = cat.postings()
+    cols = ["doc_int", "term", "tf"]
+    if "positions" in post.columns:
+        cols.append("positions")
+    files_per_bucket = max(
+        1, (spark.sparkContext.defaultParallelism * 2) // n_doc_buckets
+    )
+    fwd = (
+        post.select(*cols)
+        .withColumn(
+            "doc_bucket",
+            F.pmod(F.col("doc_int"), F.lit(n_doc_buckets)).cast("int"),
+        )
+        .repartition(
+            n_doc_buckets * files_per_bucket,
+            "doc_bucket",
+            F.pmod(F.col("doc_int"), F.lit(files_per_bucket)),
+        )
+    )
+    out, n = cat.write_counted(fwd, "term_vectors", partition_by=["doc_bucket"])
+    cat.record_stage(
+        "term_vectors", out, n, time.time() - t0,
+        {"n_doc_buckets": n_doc_buckets, "with_positions": "positions" in post.columns},
+    )
+    return cat
