@@ -1171,6 +1171,8 @@ _DRIVER_UNSEEN_FIRST = [
     "index_stats",
     "term_vectors_from_index",
     "index_stats_from_index",
+    "ann_sq_topk",
+    "dedup_keep_best",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

@@ -411,3 +411,128 @@ def q_index_stats_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_doc_length").cast("int").alias("max_doc_length"),
         F.col("max_tf").cast("int").alias("max_tf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized ANN (quantize -> approx top-m -> exact rescore)
+# ---------------------------------------------------------------------------
+
+_SQ_K = 10
+_SQ_M = 30
+
+ORACLE_ANN_SQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qt AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12) AS s,
+         sqrt(list_dot_product(v, v)) AS nrm
+  FROM e
+),
+q8 AS (
+  SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS q, s, nrm, v
+  FROM qt
+),
+qq AS (
+  SELECT vec_id AS query_id, q AS qv8, s AS qs, nrm AS qn, v AS qv
+  FROM q8 WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+approx AS (
+  SELECT query_id, a.vec_id,
+         round(list_dot_product(a.q, qv8) * a.s * qs / (a.nrm * qn), 6) AS approx,
+         a.v, a.nrm
+  FROM q8 a CROSS JOIN qq WHERE a.vec_id <> query_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx DESC, vec_id ASC) AS arank
+    FROM approx
+  ) WHERE arank <= {_SQ_M}
+),
+ex AS (
+  SELECT c.query_id, c.vec_id, c.approx,
+         round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+  FROM cand c JOIN qq q USING (query_id)
+)
+SELECT query_id, vec_id, approx, cos, rank FROM (
+  SELECT query_id, vec_id, approx, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM ex
+) WHERE rank <= {_SQ_K}
+"""
+
+
+@register("ann_sq_topk", ORACLE_ANN_SQ)
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.sq_topk(
+        emb, [0, 1, 2, 3, 4], k=_SQ_K, rescore_multiplier=_SQ_M // _SQ_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection over the minhash dup clusters
+# ---------------------------------------------------------------------------
+
+from .entry_queries_pipeline import (  # noqa: E402
+    SQL_DOCS_AUG,
+    SQL_MINHASH,
+    SQL_TOK_SH,
+    _docs_aug,
+)
+
+ORACLE_KEEP_BEST = f"""
+WITH RECURSIVE {SQL_DOCS_AUG},
+{SQL_TOK_SH},
+{SQL_MINHASH},
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           coalesce(i.inter, 0)::DOUBLE
+             / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+  ) WHERE jaccard >= 0.7
+),
+nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+compo AS (
+  SELECT node::BIGINT AS doc_id, min(comp)::BIGINT AS component_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, component_id, quality, is_canonical FROM (
+  SELECT r.doc_id, r.component_id, length(d.text)::INT AS quality,
+         (row_number() OVER (
+            PARTITION BY r.component_id
+            ORDER BY length(d.text) DESC, r.doc_id ASC) = 1) AS is_canonical
+  FROM compo r JOIN docs_aug d USING (doc_id)
+)
+"""
+
+
+@register("dedup_keep_best", ORACLE_KEEP_BEST)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+    from .operators.components import connected_components, dedup_keep_best
+
+    docs = _docs_aug(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7)
+    comp = connected_components(pairs)
+    out = dedup_keep_best(
+        comp, docs.select("doc_id", F.length("text").alias("quality"))
+    )
+    return out.select(
+        "doc_id", "component_id", F.col("quality").cast("int").alias("quality"),
+        "is_canonical",
+    )

@@ -32,7 +32,7 @@ tier the brief grades as first-class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 40  # >> log2(any corpus)^2 / practical bound; hit => raise
@@ -145,3 +145,36 @@ def dedup_clusters(
     return comp.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("component_id"))
     )
+
+
+def dedup_keep_best(
+    comp: DataFrame,
+    quality: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component_id, quality, is_canonical) — quality-aware
+    canonical selection: within each duplicate cluster keep the member
+    with the HIGHEST ``quality_col`` (ties -> lowest doc_id), instead of
+    dedup_clusters' positional keep-min-id convention. The standard
+    curation choice for near-dup clusters where members genuinely differ
+    (keep the longest / highest-quality-scored variant, drop the
+    truncated re-crawls).
+
+    ``comp`` is connected_components' output; ``quality`` carries one
+    row per doc. One doc-keyed equi-join + one per-component window —
+    components are duplicate clusters (tiny, bounded by the dedup
+    operators' df caps and star guards upstream), so the window never
+    sees a corpus-sized partition."""
+    joined = comp.join(
+        quality.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return joined.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    ).select("doc_id", "component_id", "quality", "is_canonical")

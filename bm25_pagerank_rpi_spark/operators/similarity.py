@@ -534,3 +534,114 @@ def mmr_rerank(
         "query_id string, doc_id long, mmr_score double, rank int"
     )
     return pool.groupBy("query_id").applyInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ) ANN: quantize -> approx top-m -> exact rescore
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 127.0
+_SQ_EPS = 1e-12
+
+
+def sq_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, q, scale, nrm) — symmetric int8 scalar quantization with a
+    per-vector scale (the FAISS ``SQ8``/Lucene ``int8_hnsw`` storage
+    format): scale = max|v_i| / 127, q_i = floor(v_i/scale + 0.5).
+    floor(x + 0.5) is used instead of engine round() so Spark and the
+    DuckDB oracle agree bit-for-bit on ties. The full-precision norm is
+    kept alongside (one double per vector) for cosine denominators.
+
+    At 100 TB this is THE memory-bandwidth lever for brute-force scans:
+    int8 rows are 4x smaller than float32 (8x vs these test doubles), so
+    a GEMM/scan pass streams 4x more vectors per second at equal DRAM
+    bandwidth — rescoring only the tiny candidate pool at full
+    precision."""
+    v = as_double_vec("embedding") if "embedding" in emb.columns else F.col("v")
+    base = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale",
+        F.greatest(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+            )
+            / F.lit(SQ_LEVELS),
+            F.lit(_SQ_EPS),
+        ),
+    )
+    return base.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("q"),
+        "scale",
+        norm(F.col("v")).alias("nrm"),
+        "v",
+    )
+
+
+def sq_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    rescore_multiplier: int = 3,
+) -> DataFrame:
+    """(query_id, vec_id, approx, cos, rank) — SQ-accelerated cosine
+    top-k: the int8 scan ranks by the dequantized approximate cosine
+    (dot(q_a,q_b) * s_a * s_b / (nrm_a * nrm_b)), keeps the top
+    ``k * rescore_multiplier`` candidates per query, then rescores
+    EXACTLY those at full precision — the standard quantize-then-rescore
+    recipe (approx ordering errors inside the pool are corrected; only
+    a true top-k member falling outside the pool can be missed, and
+    widening the multiplier trades scan cost for that recall).
+
+    Both ranks run over 6-dp-rounded scores with vec_id tie-break so the
+    DuckDB oracle replays the pipeline exactly."""
+    qt = sq_quantize(emb)
+    q = qt.filter(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("scale").alias("qs"),
+        F.col("nrm").alias("qn"),
+        F.col("v").alias("qv"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("q"), F.col("qq"), lambda x, y: (x * y).cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        qt.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                int_dot * F.col("scale") * F.col("qs")
+                / (F.col("nrm") * F.col("qn")),
+                6,
+            ).alias("approx"),
+            "v",
+            "nrm",
+        )
+    )
+    m = k * rescore_multiplier
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = approx.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= m
+    )
+    exact = cand.join(
+        F.broadcast(q.select("query_id", "qv", "qn")), "query_id"
+    ).select(
+        "query_id",
+        "vec_id",
+        "approx",
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

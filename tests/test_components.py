@@ -101,3 +101,35 @@ def test_string_ids_cast(spark):
     )
     got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
     assert got == {100: 100, 200: 100, 300: 100}
+
+
+def test_dedup_keep_best_quality_canonical(spark):
+    from pyspark.sql import functions as F
+
+    from bm25_pagerank_rpi_spark.operators.components import (
+        connected_components,
+        dedup_keep_best,
+    )
+
+    # cluster {1,2,3}: doc 3 has the best quality -> canonical despite
+    # NOT being the min id; cluster {7,8}: tie -> min id 7 wins
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (7, 5.0), (8, 5.0)],
+        "doc_id long, quality double",
+    )
+    comp = connected_components(pairs)
+    got = {
+        r.doc_id: r for r in dedup_keep_best(comp, quality).collect()
+    }
+    assert [d for d, r in got.items() if r.is_canonical and r.component_id == got[1].component_id] == [3]
+    assert got[7].is_canonical and not got[8].is_canonical
+    # exactly one canonical per component
+    from collections import Counter
+
+    per_comp = Counter(
+        r.component_id for r in got.values() if r.is_canonical
+    )
+    assert all(v == 1 for v in per_comp.values())

@@ -235,3 +235,61 @@ def test_kmeans_centroids_lift_ivf_recall_on_clustered(spark):
         for r in similarity.ivf_topk(emb, qids, k=10, nprobe=4, cents=cents).collect()
     }
     assert len(exact & got) / len(exact) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (sq_quantize / sq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_quantize_bounds_and_reconstruction(spark):
+    import numpy as np
+
+    from bm25_pagerank_rpi_spark.operators.similarity import sq_quantize
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sq_quantize(emb).collect()
+    for r in got:
+        v = np.array(dict(rows)[r.vec_id])
+        assert max(abs(q) for q in r.q) <= 127
+        assert abs(r.scale - max(1e-12, np.abs(v).max() / 127.0)) < 1e-15
+        # dequantized reconstruction error bounded by scale/2 per coord
+        rec = np.array(r.q, dtype=float) * r.scale
+        assert np.max(np.abs(rec - v)) <= r.scale / 2 + 1e-12
+
+
+def test_sq_topk_matches_exact_on_separated_data(spark):
+    import numpy as np
+
+    from bm25_pagerank_rpi_spark.operators.similarity import (
+        brute_force_topk,
+        sq_topk,
+    )
+
+    # well-separated clusters: quantization noise cannot reorder the
+    # true top-k, so SQ top-k == exact top-k ids
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 12) * 10
+    rows = []
+    for i in range(40):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in (c + rng.randn(12) * 0.01)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(emb, [0, 1], k=5).collect()
+    }
+    sq = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sq_topk(emb, [0, 1], k=5, rescore_multiplier=4).collect()
+    }
+    assert sq == exact
+    # exact rescore column equals the brute-force cosine
+    bf = {
+        (r.query_id, r.vec_id): r.cos
+        for r in brute_force_topk(emb, [0, 1], k=5).collect()
+    }
+    for r in sq_topk(emb, [0, 1], k=5, rescore_multiplier=4).collect():
+        assert abs(r.cos - bf[(r.query_id, r.vec_id)]) < 1e-9
