@@ -1173,6 +1173,7 @@ _DRIVER_UNSEEN_FIRST = [
     "index_stats_from_index",
     "ann_sq_topk",
     "dedup_keep_best",
+    "rank_feature_topk",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

@@ -536,3 +536,55 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component_id", F.col("quality").cast("int").alias("quality"),
         "is_canonical",
     )
+
+
+# ---------------------------------------------------------------------------
+# rank_feature query: saturating PageRank boost over BM25 (bounded, unlike
+# the raw linear blend of blended_pagerank_topk). Graph + damping shared
+# with the pagerank pair.
+# ---------------------------------------------------------------------------
+
+_RF_BOOST = 1.5
+_RF_PIVOT = 0.002
+
+
+def _rank_feature_oracle() -> str:
+    from .entry_queries import SQL_SKELETON
+    from .entry_queries_graph import SQL_GRAPH
+
+    skel = SQL_SKELETON.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    sat = f"{_RF_BOOST} * f.rank / (f.rank + {_RF_PIVOT})"
+    return skel + ",\n" + SQL_GRAPH + f"""
+SELECT doc_id, bm25, feature, blended, rank FROM (
+  SELECT p.doc_id, round(p.bm25, 6) AS bm25, round(f.rank, 6) AS feature,
+         round(p.bm25 + {sat}, 6) AS blended,
+         row_number() OVER (
+           ORDER BY round(p.bm25 + {sat}, 6) DESC, p.doc_id ASC
+         )::INT AS rank
+  FROM perdoc p JOIN pr_final f ON f.node = p.doc_id
+) WHERE rank <= 20
+"""
+
+
+@register("rank_feature_topk", _rank_feature_oracle())
+def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_graph import DAMPING, ITERS, _doc_graph
+    from .operators import pagerank as pr_mod
+
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs), dlen,
+        scorer.corpus_stats(dlen), _queries_df(spark),
+    ).select("query_id", "doc_id", "bm25")
+    nodes, edges = _doc_graph(docs)
+    feat = pr_mod.pagerank_table(
+        nodes, edges, damping=DAMPING, iterations=ITERS
+    ).select(F.col("node").alias("doc_id"), F.col("pagerank").alias("feature"))
+    out = retrieval_plus.rank_feature_topk(
+        sc, feat, k=20, boost=_RF_BOOST, mode="saturation", pivot=_RF_PIVOT,
+    )
+    return out.select(
+        "doc_id", _r("bm25").alias("bm25"), _r("feature").alias("feature"),
+        _r("blended").alias("blended"), "rank",
+    )

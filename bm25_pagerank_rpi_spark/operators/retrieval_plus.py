@@ -2451,3 +2451,65 @@ def linear_fusion(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "fused", "n_systems", "rank")
     )
+
+
+def rank_feature_topk(
+    scored: DataFrame,
+    features: DataFrame,
+    k: int = 20,
+    boost: float = 1.0,
+    mode: str = "saturation",
+    pivot: float = 1.0,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    score_col: str = "bm25",
+    feature_col: str = "feature",
+) -> DataFrame:
+    """(query_id, doc_id, bm25, feature, blended, rank) — Elasticsearch's
+    ``rank_feature`` query: a query-independent per-doc feature (PageRank,
+    url_length, freshness) contributes a BOUNDED boost through one of the
+    three standard shaping functions, added to the lexical score:
+
+      saturation: boost * f / (f + pivot)           (in [0, boost))
+      log:        boost * ln(scaling_factor + f)
+      sigmoid:    boost * f^exp / (f^exp + pivot^exp)
+
+    The bounded shapes are the point vs blended_topk's raw linear blend:
+    a runaway feature value (spam page with huge PageRank) can never
+    contribute more than ``boost``, so lexical relevance stays in
+    charge. Docs missing from ``features`` contribute 0 (ES semantics:
+    rank_feature clauses never match-gate, they only score).
+
+    Same scale shape as blended_topk: one left doc_id equi-join against
+    the static feature relation + a codegen projection + the per-query
+    top-k window."""
+    f = F.coalesce(F.col("_f"), F.lit(0.0))
+    if mode == "saturation":
+        contrib = F.lit(float(boost)) * f / (f + F.lit(float(pivot)))
+    elif mode == "log":
+        contrib = F.lit(float(boost)) * F.log(F.lit(float(scaling_factor)) + f)
+    elif mode == "sigmoid":
+        fe = F.pow(f, F.lit(float(exponent)))
+        contrib = F.lit(float(boost)) * fe / (
+            fe + F.lit(float(pivot) ** float(exponent))
+        )
+    else:
+        raise ValueError(f"unknown rank_feature mode: {mode!r}")
+    out = (
+        scored.join(
+            features.select("doc_id", F.col(feature_col).alias("_f")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("feature", F.coalesce(F.col("_f"), F.lit(0.0)))
+        .withColumn("blended", F.col(score_col) + contrib)
+        .drop("_f")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("blended", 6)), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", score_col, "feature", "blended", "rank")
+    )

@@ -1338,3 +1338,59 @@ def test_linear_fusion_validates_args(spark):
     a = _leg(spark, [("q1", 1, 1.0)])
     with pytest.raises(ValueError):
         rp.linear_fusion([a], [0.5, 0.5], k=5)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature_topk (bounded feature boosts)
+# ---------------------------------------------------------------------------
+
+
+def _rf_scored(spark):
+    return spark.createDataFrame(
+        [("q1", 1, 1.0), ("q1", 2, 1.0), ("q1", 3, 2.0)],
+        "query_id string, doc_id long, bm25 double",
+    )
+
+
+def test_rank_feature_saturation_bounded(spark):
+    scored = _rf_scored(spark)
+    feats = spark.createDataFrame(
+        [(1, 1e9), (2, 0.5)], "doc_id long, feature double"
+    )
+    got = {
+        r.doc_id: r
+        for r in rp.rank_feature_topk(
+            scored, feats, boost=2.0, mode="saturation", pivot=0.5
+        ).collect()
+    }
+    # runaway feature saturates below boost; f == pivot -> boost/2
+    assert got[1].blended < 1.0 + 2.0
+    assert got[1].blended > 1.0 + 2.0 * 0.999
+    assert abs(got[2].blended - (1.0 + 1.0)) < 1e-9
+    # missing feature -> contribution 0, feature reported as 0
+    assert got[3].blended == 2.0 and got[3].feature == 0.0
+
+
+def test_rank_feature_modes_and_validation(spark):
+    import math
+
+    import pytest
+
+    scored = _rf_scored(spark)
+    feats = spark.createDataFrame([(1, 3.0)], "doc_id long, feature double")
+    log = {
+        r.doc_id: r
+        for r in rp.rank_feature_topk(
+            scored, feats, boost=1.0, mode="log", scaling_factor=2.0
+        ).collect()
+    }
+    assert abs(log[1].blended - (1.0 + math.log(5.0))) < 1e-9
+    sig = {
+        r.doc_id: r
+        for r in rp.rank_feature_topk(
+            scored, feats, boost=1.0, mode="sigmoid", pivot=3.0, exponent=2.0
+        ).collect()
+    }
+    assert abs(sig[1].blended - (1.0 + 0.5)) < 1e-9
+    with pytest.raises(ValueError):
+        rp.rank_feature_topk(scored, feats, mode="nope")
