@@ -1174,6 +1174,9 @@ _DRIVER_UNSEEN_FIRST = [
     "ann_sq_topk",
     "dedup_keep_best",
     "rank_feature_topk",
+    "event_transitions",
+    "funnel_conversion",
+    "json_props_stats",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

@@ -588,3 +588,110 @@ def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _r("bm25").alias("bm25"), _r("feature").alias("feature"),
         _r("blended").alias("blended"), "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (operators/events.py): Markov transitions,
+# ordered funnel, JSON-property aggregation over the events table
+# ---------------------------------------------------------------------------
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM c
+"""
+
+
+@register("event_transitions", ORACLE_TRANSITIONS)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_mod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev_mod.event_transitions(ev)
+    return out.select("prev_type", "event_type", "n", _r("prob").alias("prob"))
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+ORACLE_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+  GROUP BY e.user_id
+),
+base AS (SELECT count(*)::BIGINT AS base_users FROM s1),
+rep AS (
+  SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type, count(*)::BIGINT AS users FROM s1
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STEPS[1]}', count(*)::BIGINT FROM s2
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STEPS[2]}', count(*)::BIGINT FROM s3
+)
+SELECT step, event_type, users,
+       round(CASE WHEN base_users = 0 THEN 0.0
+             ELSE users::DOUBLE / base_users END, 6) AS rate
+FROM rep CROSS JOIN base
+"""
+
+
+@register("funnel_conversion", ORACLE_FUNNEL)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_mod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev_mod.funnel_conversion(ev, _FUNNEL_STEPS)
+    return out.select(
+        "step", "event_type", "users", _r("rate").alias("rate")
+    )
+
+
+ORACLE_JSON_PROPS = r"""
+SELECT event_type, count(*)::BIGINT AS n,
+       count(k)::BIGINT AS with_key,
+       sum(k)::BIGINT AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       max(k)::BIGINT AS max_k
+FROM (
+  SELECT event_type,
+         try_cast(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", ORACLE_JSON_PROPS)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_mod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev_mod.json_props_stats(ev, key="k")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("with_key").cast("long").alias("with_key"),
+        F.col("sum_k").cast("long").alias("sum_k"),
+        _r("avg_k").alias("avg_k"),
+        F.col("max_k").cast("long").alias("max_k"),
+    )

@@ -1,0 +1,107 @@
+"""Event-stream analytics (operators/events.py): Markov transitions,
+ordered funnel conversion, JSON-property aggregation."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from bm25_pagerank_rpi_spark.operators import events as ev_mod
+
+
+def _ev(spark, rows):
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=sec), uid, et, 1.0, props)
+        for i, (sec, uid, et, props) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_transitions_counts_and_probs(spark):
+    rows = [
+        (0, 1, "view", "{}"),
+        (1, 1, "click", "{}"),
+        (2, 1, "view", "{}"),
+        (3, 1, "click", "{}"),
+        (0, 2, "view", "{}"),
+        (1, 2, "error", "{}"),
+        # user 3: single event -> no transition
+        (0, 3, "signup", "{}"),
+    ]
+    got = {
+        (r.prev_type, r.event_type): r
+        for r in ev_mod.event_transitions(_ev(spark, rows)).collect()
+    }
+    assert got[("view", "click")].n == 2
+    assert got[("click", "view")].n == 1
+    assert got[("view", "error")].n == 1
+    assert ("signup", "view") not in got
+    # rows of the matrix sum to 1
+    assert abs(got[("view", "click")].prob - 2 / 3) < 1e-12
+    assert abs(got[("view", "error")].prob - 1 / 3) < 1e-12
+    assert got[("click", "view")].prob == 1.0
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (0, 1, "view", "{}"),
+        (10, 1, "click", "{}"),
+        (20, 1, "purchase", "{}"),
+        # user 2 clicks BEFORE viewing: reaches step 1 only
+        (5, 2, "click", "{}"),
+        (6, 2, "view", "{}"),
+        # user 3 views then purchases without clicking: stops at step 1
+        (0, 3, "view", "{}"),
+        (9, 3, "purchase", "{}"),
+        # user 4 never views
+        (0, 4, "purchase", "{}"),
+    ]
+    got = {
+        r.step: r
+        for r in ev_mod.funnel_conversion(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1].users == 3  # users 1, 2, 3
+    assert got[2].users == 1  # only user 1 clicked after viewing
+    assert got[3].users == 1
+    assert abs(got[2].rate - 1 / 3) < 1e-12
+    assert got[1].rate == 1.0
+
+
+def test_funnel_validates_and_empty_first_step(spark):
+    with pytest.raises(ValueError):
+        ev_mod.funnel_conversion(_ev(spark, []), [])
+    rows = [(0, 1, "click", "{}")]
+    got = {
+        r.step: r
+        for r in ev_mod.funnel_conversion(
+            _ev(spark, rows), ["view", "click"]
+        ).collect()
+    }
+    assert got[1].users == 0 and got[1].rate == 0.0
+    assert got[2].users == 0 and got[2].rate == 0.0
+
+
+def test_json_props_stats(spark):
+    rows = [
+        (0, 1, "view", '{"k": 10}'),
+        (1, 1, "view", '{"k": 30}'),
+        (2, 1, "view", "{}"),  # missing key
+        (3, 1, "click", '{"k": 7, "other": 1}'),
+    ]
+    got = {
+        r.event_type: r
+        for r in ev_mod.json_props_stats(_ev(spark, rows)).collect()
+    }
+    assert got["view"].n == 3 and got["view"].with_key == 2
+    assert got["view"].sum_k == 40 and got["view"].max_k == 30
+    assert abs(got["view"].avg_k - 20.0) < 1e-12
+    assert got["click"].sum_k == 7
