@@ -1177,6 +1177,7 @@ _DRIVER_UNSEEN_FIRST = [
     "event_transitions",
     "funnel_conversion",
     "json_props_stats",
+    "contamination_near_dup",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

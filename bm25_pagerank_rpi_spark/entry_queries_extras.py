@@ -695,3 +695,109 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("avg_k").alias("avg_k"),
         F.col("max_k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup train/eval contamination: bipartite MinHash-LSH. Eval set =
+# first-token-dropped variants of every 25th document (the docs_aug
+# near-dup recipe applied cross-set).
+# ---------------------------------------------------------------------------
+
+from .functions.hashing import phash_sql  # noqa: E402
+from .operators import dedup as dedup_mod  # noqa: E402
+
+_CONTAM_MH = phash_sql("concat(shingle, '#', CAST(s.i AS VARCHAR))")
+_CONTAM_ROWS = dedup_mod.NUM_HASHES // dedup_mod.BANDS
+
+ORACLE_CONTAM_NEAR = rf"""
+WITH tok_t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+eval_docs AS (
+  SELECT doc_id AS eval_id,
+         array_to_string(list_slice(toks, 2, len(toks)), ' ') AS text
+  FROM tok_t WHERE doc_id % 25 = 3 AND len(toks) > 3
+),
+tok_e AS (
+  SELECT eval_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM eval_docs
+),
+sh_t AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        THEN list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM tok_t) WHERE shingle <> ''
+),
+sh_e AS (
+  SELECT DISTINCT eval_id, shingle FROM (
+    SELECT eval_id, unnest(CASE WHEN len(toks) >= 3
+        THEN list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM tok_e) WHERE shingle <> ''
+),
+mh_t AS (
+  SELECT doc_id, s.i AS i, min({_CONTAM_MH}) AS minhash
+  FROM sh_t CROSS JOIN generate_series(0, {dedup_mod.NUM_HASHES - 1}) AS s(i)
+  GROUP BY doc_id, s.i
+),
+mh_e AS (
+  SELECT eval_id, s.i AS i, min({_CONTAM_MH}) AS minhash
+  FROM sh_e CROSS JOIN generate_series(0, {dedup_mod.NUM_HASHES - 1}) AS s(i)
+  GROUP BY eval_id, s.i
+),
+bands_t AS (
+  SELECT doc_id, band, string_agg(minhash::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM (SELECT doc_id, i, minhash, i // {_CONTAM_ROWS} AS band FROM mh_t)
+  GROUP BY doc_id, band
+),
+bands_e AS (
+  SELECT eval_id, band, string_agg(minhash::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM (SELECT eval_id, i, minhash, i // {_CONTAM_ROWS} AS band FROM mh_e)
+  GROUP BY eval_id, band
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, e.eval_id
+  FROM bands_t t JOIN bands_e e USING (band, band_key)
+),
+sizes_t AS (SELECT doc_id, count(*) AS n_t FROM sh_t GROUP BY doc_id),
+sizes_e AS (SELECT eval_id, count(*) AS n_e FROM sh_e GROUP BY eval_id),
+inter AS (
+  SELECT c.doc_id, c.eval_id, count(*) AS inter
+  FROM cand c
+  JOIN sh_t ON sh_t.doc_id = c.doc_id
+  JOIN sh_e ON sh_e.eval_id = c.eval_id AND sh_e.shingle = sh_t.shingle
+  GROUP BY c.doc_id, c.eval_id
+)
+SELECT doc_id, eval_id, jaccard FROM (
+  SELECT c.doc_id, c.eval_id,
+         round(coalesce(i.inter, 0)::DOUBLE
+               / (st.n_t + se.n_e - coalesce(i.inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.eval_id = c.eval_id
+  JOIN sizes_t st ON st.doc_id = c.doc_id
+  JOIN sizes_e se ON se.eval_id = c.eval_id
+) WHERE jaccard >= 0.5
+"""
+
+
+@register("contamination_near_dup", ORACLE_CONTAM_NEAR)
+def q_contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.tokenize import tokens_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_docs = (
+        docs.withColumn("toks", tokens_col("text"))
+        .filter((F.col("doc_id") % 25 == 3) & (F.size("toks") > 3))
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", 2, F.size("toks") - 1), " ").alias(
+                "text"
+            ),
+        )
+    )
+    out = dedup_mod.contamination_near_dup(docs, eval_docs, threshold=0.5)
+    return out.select("doc_id", "eval_id", _r("jaccard").alias("jaccard"))

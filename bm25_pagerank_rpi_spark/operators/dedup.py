@@ -195,6 +195,28 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     )
 
 
+def _band_keys(
+    sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
+) -> DataFrame:
+    """(doc_id, band, band_key) — LSH band keys: comma-joined minhashes
+    of each band in i-order (shared by the self-join dedup path and the
+    bipartite contamination path)."""
+    rows = num_hashes // bands
+    return (
+        sigs.withColumn("band", (F.col("i") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS,
     bucket_cap: int = 256,
@@ -211,20 +233,7 @@ def lsh_candidate_pairs(
     the whole group to one canonical for dedup purposes (pairwise scores
     between two non-canonical members of a degenerate bucket are not
     emitted). Pass None to always emit all pairs."""
-    rows = num_hashes // bands
-    band_keys = (
-        sigs.withColumn("band", (F.col("i") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
-    )
+    band_keys = _band_keys(sigs, num_hashes, bands)
     if bucket_cap is None:
         a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
         b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -456,3 +465,62 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def contamination_near_dup(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(doc_id, eval_id, jaccard) — NEAR-duplicate train/eval
+    contamination: training documents whose shingle-set Jaccard against
+    any benchmark document reaches ``threshold``, found via a BIPARTITE
+    MinHash-LSH band join instead of the self-join dedup uses. The fuzzy
+    upgrade over exact n-gram contamination (textstats.py
+    ngram_contamination): a paraphrased or lightly-edited eval leak
+    shares no exact 13-gram but keeps most of its 3-shingles.
+
+    Scale shape: the benchmark side is SMALL (eval suites are thousands
+    of docs, the training corpus is the 100-TB side) — its band keys and
+    shingles broadcast, so the training corpus is never shuffled: one
+    scan computes signatures, the band join + shingle-intersection
+    verify both stream against broadcast relations, and only candidate
+    (train, eval) pairs reach the final agg. False-negative odds follow
+    the standard (1-(1-j^r)^b) LSH recall curve."""
+    tb = _band_keys(minhash_signatures(train, num_hashes), num_hashes, bands)
+    eb = _band_keys(
+        minhash_signatures(eval_docs, num_hashes), num_hashes, bands
+    ).select(F.col("doc_id").alias("eval_id"), "band", "band_key")
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    tsh = doc_shingles(train)
+    esh = doc_shingles(eval_docs).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tsz = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_t"))
+    esz = esh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_e"))
+    inter = (
+        tsh.join(cand, "doc_id")
+        .join(F.broadcast(esh), ["eval_id", "shingle"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        cand.join(inter, ["doc_id", "eval_id"], "left")
+        .join(tsz, "doc_id")
+        .join(F.broadcast(esz), "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("n_t") + F.col("n_e") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)

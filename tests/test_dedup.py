@@ -224,3 +224,73 @@ def test_containment_directed(spark):
     }
     # small ⊂ big: containment(small in big) = 1.0; the reverse is far below
     assert rows == {("small", "big"): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# bipartite near-dup contamination (contamination_near_dup)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_near_dup_bipartite(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+            (3, "unrelated totally different words entirely here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            # near-copy of train doc 1 (first token dropped)
+            (100, "beta gamma delta epsilon zeta eta theta"),
+            # unseen benchmark doc
+            (101, "completely novel benchmark question text here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.jaccard
+        for r in dedup.contamination_near_dup(
+            train, eval_docs, threshold=0.5
+        ).collect()
+    }
+    assert (1, 100) in got
+    # 6 shared shingles of 6 (train has 6, eval has 5, inter 5):
+    # j = 5 / (6 + 5 - 5) = 5/6
+    assert abs(got[(1, 100)] - 5 / 6) < 1e-12
+    # no train doc flagged against the unseen eval doc
+    assert all(e != 101 for _, e in got)
+    # clean train docs not flagged at all
+    assert all(d == 1 for d, _ in got)
+
+
+def test_contamination_respects_threshold(spark):
+    # the 5/6-jaccard near-copy IS an LSH candidate (most bands agree);
+    # a threshold above its jaccard must filter it at the verify step
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    lo = dedup.contamination_near_dup(train, eval_docs, threshold=0.5)
+    got = lo.collect()
+    assert len(got) == 1 and abs(got[0].jaccard - 5 / 6) < 1e-12
+    hi = dedup.contamination_near_dup(train, eval_docs, threshold=0.9)
+    assert hi.count() == 0
+
+
+def test_contamination_low_jaccard_below_lsh_recall(spark):
+    # j = 1/7: the (1-(1-j^r)^b) recall curve is ~0.2% at r=4, b=4 — a
+    # low-overlap pair is NOT surfaced even at a permissive threshold
+    # (that is exact-ngram contamination's job, not LSH's)
+    train = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(9, "a b c x y z")], "doc_id long, text string"
+    )
+    assert dedup.contamination_near_dup(train, eval_docs, threshold=0.1).count() == 0
