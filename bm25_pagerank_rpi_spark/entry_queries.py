@@ -1178,6 +1178,7 @@ _DRIVER_UNSEEN_FIRST = [
     "funnel_conversion",
     "json_props_stats",
     "contamination_near_dup",
+    "histogram_pipeline",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

@@ -801,3 +801,36 @@ def q_contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dedup_mod.contamination_near_dup(docs, eval_docs, threshold=0.5)
     return out.select("doc_id", "eval_id", _r("jaccard").alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# ES pipeline aggregations over the hourly event histogram
+# ---------------------------------------------------------------------------
+
+ORACLE_HIST_PIPELINE = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
+       sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+       (n - lag(n) OVER (ORDER BY bucket))::BIGINT AS deriv,
+       round(avg(n) OVER (
+         ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM c
+"""
+
+
+@register("histogram_pipeline", ORACLE_HIST_PIPELINE)
+def q_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import events as ev_mod
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev_mod.histogram_pipeline(ev, granularity="hour")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.col("cum").cast("long").alias("cum"),
+        F.col("deriv").cast("long").alias("deriv"),
+        _r("mavg").alias("mavg"),
+    )

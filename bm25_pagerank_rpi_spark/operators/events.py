@@ -115,3 +115,28 @@ def json_props_stats(events: DataFrame, key: str = "k") -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def histogram_pipeline(events: DataFrame, granularity: str = "hour") -> DataFrame:
+    """(bucket, n, cum, deriv, mavg) — Elasticsearch pipeline
+    aggregations over a date histogram: cumulative_sum, derivative
+    (NULL for the first bucket, ES semantics), and a 3-bucket trailing
+    moving average, all as window functions over the BUCKETED relation.
+
+    Scale note: the windows run over the histogram (|buckets| rows,
+    thousands at most for any real granularity x retention), not the
+    event stream — the single-partition window warning is about a
+    relation that fits in one task by construction. The event-stream
+    side is one date_trunc projection + hash agg with map-side
+    partials."""
+    counts = events.groupBy(
+        F.date_trunc(granularity, F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket")
+    return counts.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        (F.col("n") - F.lag("n").over(w)).alias("deriv"),
+        F.avg("n").over(w.rowsBetween(-2, 0)).alias("mavg"),
+    )

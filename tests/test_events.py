@@ -105,3 +105,24 @@ def test_json_props_stats(spark):
     assert got["view"].sum_k == 40 and got["view"].max_k == 30
     assert abs(got["view"].avg_k - 20.0) < 1e-12
     assert got["click"].sum_k == 7
+
+
+def test_histogram_pipeline_windows(spark):
+    rows = [
+        (0, 1, "view", "{}"),       # hour 0
+        (60, 1, "view", "{}"),      # hour 0
+        (3700, 1, "view", "{}"),    # hour 1
+        (7300, 1, "view", "{}"),    # hour 2
+        (7400, 1, "view", "{}"),    # hour 2
+        (7500, 1, "view", "{}"),    # hour 2
+    ]
+    got = sorted(
+        ev_mod.histogram_pipeline(_ev(spark, rows)).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.n for r in got] == [2, 1, 3]
+    assert [r.cum for r in got] == [2, 3, 6]
+    assert got[0].deriv is None
+    assert [r.deriv for r in got[1:]] == [-1, 2]
+    assert abs(got[2].mavg - 2.0) < 1e-12  # (2+1+3)/3
+    assert abs(got[1].mavg - 1.5) < 1e-12  # trailing window shorter at head
