@@ -227,6 +227,36 @@ def train_pairwise_mlp(
     return _fit_pipeline(stages, data, cv_grid=None)
 
 
+def train_pairwise_gbt(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    max_iter: int = 20,
+    max_depth: int = 3,
+    seed: int = 42,
+):
+    """Gradient-boosted-trees pairwise classifier — the LambdaMART-family
+    member of the trainer seam (pairwise logistic loss over feature
+    differences ~= LambdaRank with uniform |delta-metric| weights).
+    MLlib's ``GBTClassifier`` trains the ensemble fully distributed
+    (per-iteration histogram aggregation), no feature scaling needed —
+    trees split on raw thresholds, so the scaler stage is deliberately
+    absent. Same advisory-re-scorer role as the LR/MLP trainers; serving
+    still ranks on raw BM25 (ranker.go:44-56)."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    data = train.withColumn("_y", ((F.col(label_col) + 1) / 2).cast("double"))
+    stages = [
+        VectorAssembler(inputCols=feature_cols, outputCol="_fv"),
+        GBTClassifier(
+            featuresCol="_fv", labelCol="_y", maxIter=max_iter,
+            maxDepth=max_depth, seed=seed,
+        ),
+    ]
+    return _fit_pipeline(stages, data, cv_grid=None)
+
+
 def _fit_pipeline(stages, data, cv_grid):
     from pyspark.ml import Pipeline
     pipe = Pipeline(stages=stages)

@@ -89,7 +89,10 @@ def train(
     and inference distributed, gradient loop driver-side like the
     reference's single-node trainer; "mlp" = the lighter MLlib
     feed-forward stand-in (:func:`..operators.ltr.train_pairwise_mlp`),
-    trained fully distributed via L-BFGS.
+    trained fully distributed via L-BFGS; "gbt" = the LambdaMART-family
+    gradient-boosted-trees trainer
+    (:func:`..operators.ltr.train_pairwise_gbt`), distributed
+    histogram-based boosting.
 
     ``test_frac`` > 0 holds out a seeded random split and reports
     ``test_accuracy`` separately (the reference reports held-out test
@@ -128,6 +131,10 @@ def train(
     else:
         if model == "mlp":
             fitted = ltr.train_pairwise_mlp(train_df, fcols, seed=seed)
+        elif model == "gbt":
+            fitted = ltr.train_pairwise_gbt(
+                train_df, fcols, seed=seed, **(train_kw or {})
+            )
         else:
             fitted = ltr.train_pairwise_lr(train_df, fcols, cv_grid=cv_grid)
         if model_dir:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bm25_pagerank_rpi_spark.plans import ltr_pipelines
 
@@ -161,3 +162,30 @@ def test_residual_mlp_beats_lr_on_nonlinear_pairs(spark, tmp_path):
     assert lr["test_accuracy"] < 0.80  # interaction rule is outside LR's class
     assert nn["test_accuracy"] > 0.85
     assert nn["test_accuracy"] > lr["test_accuracy"] + 0.05
+
+
+def test_train_gbt_lambdamart_family(spark, letor_file, tmp_path):
+    """The GBT pairwise trainer (LambdaMART-family seam): trains
+    distributed on the same pairwise sample, beats chance comfortably,
+    and round-trips through the MLlib writer like the other trainers."""
+    out_path = str(tmp_path / "examples_gbt")
+    ltr_pipelines.datagen(
+        spark, letor_file, out_path, max_examples=800, min_diff=3,
+        feature_ids=[5, 25, 110],
+    )
+    model_dir = str(tmp_path / "gbt_model")
+    res = ltr_pipelines.train(
+        spark, out_path, model_dir=model_dir, model="gbt", test_frac=0.2,
+        train_kw={"max_iter": 10, "max_depth": 3},
+    )
+    assert res["accuracy"] > 0.9
+    assert res["test_accuracy"] > 0.85
+    from pyspark.ml import PipelineModel
+
+    reloaded = PipelineModel.load(model_dir)
+    back = reloaded.transform(
+        spark.read.parquet(out_path).withColumn(
+            "_y", ((F.col("label") + 1) / 2).cast("double")
+        )
+    )
+    assert back.select("prediction").distinct().count() <= 2
