@@ -199,6 +199,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "ann_gemm_topk",
+        "ann_sq_topk",
         "text_quality",
         "pagerank",
     ):
