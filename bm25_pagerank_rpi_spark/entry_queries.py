@@ -1179,6 +1179,7 @@ _DRIVER_UNSEEN_FIRST = [
     "json_props_stats",
     "contamination_near_dup",
     "histogram_pipeline",
+    "bm25f_topk_from_index",
     "common_terms_topk",
     "phrase_prefix_topk",
     "hybrid_linear_topk",

@@ -834,3 +834,51 @@ def q_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deriv").cast("long").alias("deriv"),
         _r("mavg").alias("mavg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25F served from per-field index catalogs (same oracle as bm25f_topk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25f_topk_from_index",
+    None,  # oracle attached below (shared with bm25f_topk)
+)
+def q_bm25f_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from .entry_queries_retrieval import BM25F_QUERY_TEXT, BM25F_WEIGHTS
+    from .plans.index_build import build_index
+    from .sources.transcripts import synthesize_transcripts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = synthesize_transcripts(spark, sf_dir, replicas=1)
+    cats = {}
+    for f in BM25F_WEIGHTS:
+        src = t if f == "text" else t.withColumn("text", F.col(f))
+        cats[f] = build_index(
+            spark, src, f"/tmp/driver_bm25f_index_{f}_{tag}", n_buckets=8
+        )
+    qdf = spark.createDataFrame(
+        [("q1", BM25F_QUERY_TEXT)], "query_id string, text string"
+    )
+    sc = retrieval_plus.bm25f_score_from_index(cats, BM25F_WEIGHTS, qdf)
+    num = (
+        F.regexp_extract("doc_id", r"conv_(\d+):", 1).cast("long") * 8
+        + F.regexp_extract("doc_id", r":(\d+)$", 1).cast("long")
+    )
+    out = sc.select(
+        num.alias("doc_id"), _r("bm25f").alias("bm25f"), "covered"
+    )
+    w = Window.orderBy(F.desc(F.round("bm25f", 6)), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+from .entry_queries_retrieval import ORACLE_BM25F as _ORACLE_BM25F  # noqa: E402
+from .entry_queries import ORACLES as _REG_ORACLES  # noqa: E402
+
+_REG_ORACLES["bm25f_topk_from_index"] = _ORACLE_BM25F

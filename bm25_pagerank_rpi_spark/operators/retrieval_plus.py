@@ -162,6 +162,17 @@ def bm25f_score(
     """
     wtf = fielded_term_frequencies(docs, field_weights, id_col)
     wdl = fielded_doc_lengths(docs, field_weights, id_col)
+    return _bm25f_score_relations(wtf, wdl, queries)
+
+
+def _bm25f_score_relations(
+    wtf: DataFrame, wdl: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Shared BM25F scoring tail over pre-built (doc_id, term, wtf) and
+    (doc_id, wdl) relations — the raw path feeds fielded explodes, the
+    indexed path feeds per-field pruned postings. ``wtf`` may already be
+    restricted to the queries' terms (the qterms joins below are then
+    no-ops); df/doc_count/avg semantics are identical either way."""
     stats = wdl.agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.avg("wdl").alias("avg_wdl"),
@@ -2513,3 +2524,50 @@ def rank_feature_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", score_col, "feature", "blended", "rank")
     )
+
+
+def bm25f_score_from_index(
+    cats: dict, field_weights: dict[str, float], queries: DataFrame
+) -> DataFrame:
+    """BM25F served from PER-FIELD index catalogs (the Lucene layout:
+    each field has its own postings; scores combine at query time).
+    ``cats[field]`` is an IndexCatalog built over that field's content
+    for the same document set. Weighted tf comes from each field's
+    PRUNED postings (bucket partition pruning + broadcast term
+    semi-join — only the query terms' lists are read, reference S1
+    contract data_getters.go:17-40); weighted doc length comes from the
+    catalogs' doc_meta tables (metadata-sized scans, zero text).
+    Score-identical to the from-raw bm25f_score by construction — both
+    feed the shared _bm25f_score_relations tail."""
+    from .query_exact import pruned_postings
+
+    missing = [f for f in field_weights if f not in cats]
+    if missing:
+        raise ValueError(f"no catalog for fields: {missing}")
+    tf_parts, dl_parts = [], []
+    for f, w in field_weights.items():
+        cat = cats[f]
+        meta = cat.doc_meta().select("doc_id", "doc_int", "doc_length")
+        pr = pruned_postings(cat, queries).select("term", "doc_int", "tf")
+        tf_parts.append(
+            pr.join(meta.select("doc_int", "doc_id"), "doc_int").select(
+                "doc_id",
+                "term",
+                (F.col("tf").cast("double") * F.lit(float(w))).alias("p"),
+            )
+        )
+        dl_parts.append(
+            meta.select(
+                "doc_id",
+                (F.col("doc_length").cast("double") * F.lit(float(w))).alias("p"),
+            )
+        )
+    tf_un = tf_parts[0]
+    for p in tf_parts[1:]:
+        tf_un = tf_un.unionByName(p)
+    wtf = tf_un.groupBy("doc_id", "term").agg(F.sum("p").alias("wtf"))
+    dl_un = dl_parts[0]
+    for p in dl_parts[1:]:
+        dl_un = dl_un.unionByName(p)
+    wdl = dl_un.groupBy("doc_id").agg(F.sum("p").alias("wdl"))
+    return _bm25f_score_relations(wtf, wdl, queries)

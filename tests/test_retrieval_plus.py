@@ -1394,3 +1394,49 @@ def test_rank_feature_modes_and_validation(spark):
     assert abs(sig[1].blended - (1.0 + 0.5)) < 1e-9
     with pytest.raises(ValueError):
         rp.rank_feature_topk(scored, feats, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# bm25f_score_from_index (per-field catalogs == from-raw BM25F)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25f_from_index_matches_raw(spark, tmp_path):
+    import pytest
+
+    from bm25_pagerank_rpi_spark.plans.index_build import build_index
+
+    rows = [
+        ("conv_0", 0, "user", "hash join table", "search"),
+        ("conv_0", 1, "assistant", "hash scan", "code"),
+        ("conv_1", 0, "user", "sort merge join", "search"),
+        ("conv_1", 1, "assistant", "", "none"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2025-01-01 00:00:00").cast("timestamp"))
+    weights = {"text": 1.0, "role": 0.5, "tool": 2.0}
+    cats = {}
+    for fld in weights:
+        src = t if fld == "text" else t.withColumn("text", F.col(fld))
+        cats[fld] = build_index(
+            spark, src, str(tmp_path / f"f_{fld}"), n_buckets=4
+        )
+    qdf = spark.createDataFrame(
+        [("q1", "hash search user join")], "query_id string, text string"
+    )
+    docs = t.withColumn(
+        "doc_id", F.concat_ws(":", "conv_id", "turn_idx")
+    )
+    raw = {
+        r.doc_id: (round(r.bm25f, 9), r.covered)
+        for r in rp.bm25f_score(docs, qdf, weights).collect()
+    }
+    idx = {
+        r.doc_id: (round(r.bm25f, 9), r.covered)
+        for r in rp.bm25f_score_from_index(cats, weights, qdf).collect()
+    }
+    assert idx == raw and len(raw) > 0
+
+    with pytest.raises(ValueError):
+        rp.bm25f_score_from_index({"text": cats["text"]}, weights, qdf)
