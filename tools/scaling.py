@@ -58,7 +58,12 @@ def run_level(cores: int, replicas: int, sf_dir: str) -> dict:
         BENCH_REPLICAS=str(replicas),
         BENCH_BUILD_ONLY="1",
         BENCH_ZIPF_TOKENS=zipf,
-        BENCH_INDEX_DIR=f"{base}/index_c{cores}_z{zipf}",
+        # replicas MUST be in the dir key: bench.py caches the synthesized
+        # corpus under BENCH_INDEX_DIR + "_transcripts", so a key without
+        # replicas silently reuses the previous run's corpus at a
+        # different nominal replicas (round-4 diagnosis: three "different
+        # size" runs all measured the same 500k-turn corpus)
+        BENCH_INDEX_DIR=f"{base}/index_c{cores}_z{zipf}_r{replicas}",
         SPARK_GRAFT_LOCAL_DIR=f"{base}/local_c{cores}",
         # resources scale WITH the cluster: a 4N-executor cluster has 4x
         # the total memory, so the stand-in JVM heap scales per core. A
