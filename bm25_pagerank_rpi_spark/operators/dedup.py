@@ -176,22 +176,64 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def minhash_signatures_wide(
+    docs: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — the n per-seed minimums computed as n ``min``
+    aggregates in ONE hash aggregate over the shingle relation. The seed
+    "loop" lives inside the aggregate expressions, so — unlike the classic
+    seeds-crossJoin plan — shingle rows are never multiplied by n, and the
+    only shuffle carries ~1 map-side-combined row per doc (16 int64
+    columns) instead of n rows per (doc, partition). At 10^12 turns that
+    is the difference between shuffling 16x the shingle relation and
+    shuffling the doc count."""
+    sh = doc_shingles(docs)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                phash(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, i, minhash) — i-th MinHash = min over shingles of
     phash(shingle || '#' || i). Seeded-permutation family via hash-domain
     separation: portable across engines and overflow-free (no (a*x+b) mod p
-    arithmetic, which 64-bit ANSI SQL cannot express without overflow)."""
-    sh = doc_shingles(docs)
-    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("i"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "i",
-            phash(F.concat_ws("#", "shingle", "i")).alias("h"),
+    arithmetic, which 64-bit ANSI SQL cannot express without overflow).
+
+    Long-format view of :func:`minhash_signatures_wide` (posexplode of the
+    already-aggregated wide frame: docs x n rows, produced AFTER the
+    single shuffle)."""
+    wide = minhash_signatures_wide(docs, num_hashes)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+        ).alias("i", "minhash"),
+    )
+
+
+def _band_keys_wide(
+    wide: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
+) -> DataFrame:
+    """(doc_id, band, band_key) from the wide signature frame: band keys
+    are plain ``concat_ws`` projections + one ``stack`` generator — no
+    collect_list, no per-group sort, no extra shuffle."""
+    rows = num_hashes // bands
+    stack_args = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"cast(h{b * rows + j} as string)" for j in range(rows)
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("minhash"))
+        stack_args.append(f"{b}, concat_ws(',', {cols})")
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {', '.join(stack_args)})").alias(
+            "band", "band_key"
+        ),
     )
 
 
@@ -199,22 +241,18 @@ def _band_keys(
     sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
 ) -> DataFrame:
     """(doc_id, band, band_key) — LSH band keys: comma-joined minhashes
-    of each band in i-order (shared by the self-join dedup path and the
-    bipartite contamination path)."""
-    rows = num_hashes // bands
-    return (
-        sigs.withColumn("band", (F.col("i") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    of each band in i-order. Long-format adapter: pivots (doc_id, i,
+    minhash) back to wide (a doc-count-sized agg) and reuses
+    :func:`_band_keys_wide`; callers holding the original documents should
+    go straight through ``minhash_signatures_wide`` + ``_band_keys_wide``
+    and skip the pivot."""
+    wide = sigs.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("i") == i, F.col("minhash"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
+    return _band_keys_wide(wide, num_hashes, bands)
 
 
 def lsh_candidate_pairs(
@@ -233,7 +271,12 @@ def lsh_candidate_pairs(
     the whole group to one canonical for dedup purposes (pairwise scores
     between two non-canonical members of a degenerate bucket are not
     emitted). Pass None to always emit all pairs."""
-    band_keys = _band_keys(sigs, num_hashes, bands)
+    return _pairs_from_band_keys(_band_keys(sigs, num_hashes, bands), bucket_cap)
+
+
+def _pairs_from_band_keys(
+    band_keys: DataFrame, bucket_cap: int | None = 256
+) -> DataFrame:
     if bucket_cap is None:
         a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
         b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -273,8 +316,9 @@ def minhash_dedup_pairs(
     False positives from banding are removed by the verify; false negatives
     follow the standard (1-(1-j^r)^b) LSH recall curve. ``bucket_cap``:
     see :func:`lsh_candidate_pairs` (degenerate buckets emit their star)."""
-    cand = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes), num_hashes, bands, bucket_cap
+    cand = _pairs_from_band_keys(
+        _band_keys_wide(minhash_signatures_wide(docs, num_hashes), num_hashes, bands),
+        bucket_cap,
     )
     return _pair_jaccard(doc_shingles(docs), cand).filter(F.col("jaccard") >= threshold)
 
@@ -489,9 +533,11 @@ def contamination_near_dup(
     verify both stream against broadcast relations, and only candidate
     (train, eval) pairs reach the final agg. False-negative odds follow
     the standard (1-(1-j^r)^b) LSH recall curve."""
-    tb = _band_keys(minhash_signatures(train, num_hashes), num_hashes, bands)
-    eb = _band_keys(
-        minhash_signatures(eval_docs, num_hashes), num_hashes, bands
+    tb = _band_keys_wide(
+        minhash_signatures_wide(train, num_hashes), num_hashes, bands
+    )
+    eb = _band_keys_wide(
+        minhash_signatures_wide(eval_docs, num_hashes), num_hashes, bands
     ).select(F.col("doc_id").alias("eval_id"), "band", "band_key")
     cand = (
         tb.join(F.broadcast(eb), ["band", "band_key"])
