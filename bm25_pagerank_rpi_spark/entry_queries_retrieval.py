@@ -1738,3 +1738,72 @@ def q_phrase_suggest_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matching_docs").cast("long").alias("n_matching_docs"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ES-style rescore window (two-phase ranking)
+# ---------------------------------------------------------------------------
+
+_RESCORE_PHRASE = "join table"
+_RESCORE_WINDOW = 30
+_RESCORE_K = 15
+
+ORACLE_RESCORE = SQL_SKELETON + f"""
+, primary_ranked AS (
+  SELECT doc_id, round(bm25, 6) AS s,
+         row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS prank
+  FROM perdoc
+),
+flags AS (
+  SELECT doc_id,
+         CASE WHEN instr(' ' || text || ' ', ' {_RESCORE_PHRASE} ') > 0
+              THEN 2.0 ELSE 0.0 END AS rescore
+  FROM documents
+),
+combined AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prank <= {_RESCORE_WINDOW}
+              THEN round(p.s + coalesce(f.rescore, 0.0), 6)
+              ELSE p.s END AS score
+  FROM primary_ranked p LEFT JOIN flags f ON f.doc_id = p.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM combined
+) WHERE rank <= {_RESCORE_K}
+"""
+
+
+@register("rescore_phrase_topk", ORACLE_RESCORE)
+def q_rescore_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore semantics: BM25 phase one, then only the top-30 docs
+    get an exact-phrase secondary score (+2.0 when the contiguous phrase
+    appears); docs beyond the window keep their untouched BM25 and the
+    final top-15 re-sorts the union. The expensive phrase check touches
+    a corpus-independent window, not every candidate."""
+    docs = _docs(spark, sf_dir)
+    dlen = scorer.doc_lengths(docs)
+    sc = scorer.score_candidates(
+        scorer.doc_term_frequencies(docs),
+        dlen,
+        scorer.corpus_stats(dlen),
+        _queries_df(spark),
+    ).select("query_id", "doc_id", "bm25")
+    flags = docs.select(
+        "doc_id",
+        F.when(
+            F.instr(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                f" {_RESCORE_PHRASE} ",
+            )
+            > 0,
+            F.lit(2.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rescore"),
+    )
+    out = retrieval_plus.rescore_window(
+        sc, flags, k=_RESCORE_K, window=_RESCORE_WINDOW
+    )
+    return out.select("doc_id", "score", "rank")

@@ -94,3 +94,42 @@ def q_kmv_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("hll_distinct_terms", ORACLE_HLL)
 def q_hll_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_cardinality(_term_occurrences(spark, sf_dir), "term")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point estimates for a candidate term set
+# ---------------------------------------------------------------------------
+
+from .operators.sketches import CMS_D, CMS_W  # noqa: E402
+
+_CMS_ITEMS = ["hash", "join", "table", "key", "value", "spark", "zzzabsent"]
+_CMS_SEEDS = ", ".join(str(j) for j in range(CMS_D))
+_CMS_ITEM_VALUES = ", ".join(f"('{it}')" for it in _CMS_ITEMS)
+
+ORACLE_CMS = _TOKS + f"""
+cnt AS (
+  SELECT s.j, {phash_sql("term || '#cms' || s.j::VARCHAR")} % {CMS_W} AS bucket,
+         count(*) AS counter
+  FROM toks, unnest([{_CMS_SEEDS}]) AS s(j)
+  GROUP BY 1, 2
+),
+items AS (SELECT * FROM (VALUES {_CMS_ITEM_VALUES}) AS v(item)),
+probes AS (
+  SELECT item, s.j,
+         {phash_sql("item || '#cms' || s.j::VARCHAR")} % {CMS_W} AS bucket
+  FROM items, unnest([{_CMS_SEEDS}]) AS s(j)
+)
+SELECT item, min(coalesce(counter, 0))::BIGINT AS estimate
+FROM probes LEFT JOIN cnt ON cnt.j = probes.j AND cnt.bucket = probes.bucket
+GROUP BY item
+"""
+
+
+@register("cms_term_counts", ORACLE_CMS)
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for the bench query vocabulary (plus one
+    absent term, exercising the untouched-bucket zero path) over the
+    documents corpus's term occurrences."""
+    return sketches.cms_point_estimates(
+        _term_occurrences(spark, sf_dir), "term", _CMS_ITEMS
+    )

@@ -529,6 +529,59 @@ def blended_topk(
     return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def rescore_window(
+    scored: DataFrame,
+    secondary: DataFrame,
+    k: int = 10,
+    window: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_col: str = "bm25",
+    rescore_col: str = "rescore",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — ES-style two-phase rescoring
+    (the ``rescore`` request section): only the primary ranking's top
+    ``window`` docs per query get their score recomputed as
+    ``query_weight * primary + rescore_weight * secondary``; docs beyond
+    the window keep the primary score untouched, and the final top-k
+    re-sorts the union (a rescored doc can therefore fall below, or an
+    un-rescored doc rise above, its phase-one position — exactly ES's
+    semantics with the default ``total`` score mode).
+
+    Scale shape: this exists so an expensive secondary signal (exact
+    phrase proximity, a model forward pass) touches only ``window`` docs
+    per query — corpus-independent — instead of every candidate.
+    ``secondary`` is joined left on doc_id (and query_id when present)
+    with missing -> 0; primary scores are 6-dp-rounded before the blend
+    on both engines so near-ties break identically (house convention).
+    """
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(score_col, 6)), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("_prank", F.row_number().over(w0))
+    join_keys = (
+        ["query_id", "doc_id"] if "query_id" in secondary.columns else ["doc_id"]
+    )
+    joined = ranked.join(secondary, join_keys, "left")
+    primary_r = F.round(F.col(score_col), 6)
+    combined = F.when(
+        F.col("_prank") <= window,
+        F.round(
+            F.lit(query_weight) * primary_r
+            + F.lit(rescore_weight)
+            * F.coalesce(F.col(rescore_col), F.lit(0.0)),
+            6,
+        ),
+    ).otherwise(primary_r)
+    out = joined.withColumn("score", combined)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def time_histogram(
     docs: DataFrame,
     queries: DataFrame,

@@ -1,4 +1,4 @@
-"""Deterministic cardinality sketches: KMV and HyperLogLog.
+"""Deterministic sketches: KMV, HyperLogLog, and Count-Min.
 
 At 100 TB the first question about a text corpus is "how many distinct
 terms / doc ids / shingles are there" — and exact count-distinct is a
@@ -127,4 +127,74 @@ def hll_cardinality(values: DataFrame, col: str) -> DataFrame:
         zeros.cast("long").alias("zero_registers"),
         sum_scaled.cast("long").alias("sum_scaled"),
         F.round(est, 6).alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # depth: independent hash rows; P(over by > eps*N) <= e^-d
+CMS_W = 512  # width: buckets per row; eps = e / w
+
+
+def cms_counters(
+    values: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(j, bucket, counter) — the Count-Min sketch table (<= d*w rows).
+
+    bucket_j(v) = phash(v || '#cms' || j) % w (hash-domain separation for
+    the d rows, same portable-seeding trick as the MinHash family). The
+    plan is one groupBy(j, bucket).count over a posexplode of the d
+    bucket ids per occurrence: map-side combine collapses every partition
+    to <= d*w rows before the shuffle, so — like the HLL register table —
+    the exchanged state is sketch-sized (d*w rows TOTAL) no matter how
+    many occurrences stream through. This is the frequency sketch to run
+    alongside HLL on a 10^12-turn corpus: one scan, bounded memory,
+    mergeable across partitions/segments by cell-wise addition."""
+    buckets = [
+        F.pmod(
+            phash(F.concat(F.col(col), F.lit(f"#cms{j}"))), F.lit(w)
+        ).cast("int")
+        for j in range(d)
+    ]
+    return (
+        values.select(F.posexplode(F.array(*buckets)).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_point_estimates(
+    values: DataFrame,
+    col: str,
+    items: list[str],
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(item, estimate) — CMS point queries for ``items``.
+
+    estimate(v) = min over the d rows of the counter at (j, bucket_j(v)):
+    always >= the true occurrence count, and over by more than (e/w)*N
+    with probability <= e^-d. ``items`` is a driver-side candidate list
+    (in practice: a sampled or domain-known head set — the sketch answers
+    "how often", not "which items"); it broadcasts against the d*w-row
+    counter table, so the probe costs nothing at corpus scale. Untouched
+    buckets estimate 0 via the left-join coalesce."""
+    cnt = cms_counters(values, col, d, w)
+    spark = values.sparkSession
+    idf = spark.createDataFrame([(it,) for it in items], "item string")
+    probe_buckets = [
+        F.pmod(
+            phash(F.concat(F.col("item"), F.lit(f"#cms{j}"))), F.lit(w)
+        ).cast("int")
+        for j in range(d)
+    ]
+    probes = idf.select(
+        "item", F.posexplode(F.array(*probe_buckets)).alias("j", "bucket")
+    )
+    return (
+        cnt.join(F.broadcast(probes), ["j", "bucket"], "right")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("counter", F.lit(0).cast("long"))).alias("estimate"))
     )

@@ -1440,3 +1440,42 @@ def test_bm25f_from_index_matches_raw(spark, tmp_path):
 
     with pytest.raises(ValueError):
         rp.bm25f_score_from_index({"text": cats["text"]}, weights, qdf)
+
+
+# ---------------------------------------------------------------------------
+# rescore_window (ES two-phase rescoring)
+# ---------------------------------------------------------------------------
+
+def test_rescore_window_semantics(spark):
+    from pyspark.sql import functions as F
+
+    # primary: d1 > d2 > d3 > d4; window=2 means only d1/d2 rescoreable
+    scored = spark.createDataFrame(
+        [("q", 1, 4.0), ("q", 2, 3.0), ("q", 3, 2.0), ("q", 4, 1.0)],
+        "query_id string, doc_id long, bm25 double",
+    )
+    secondary = spark.createDataFrame(
+        [(2, 5.0), (3, 100.0)], "doc_id long, rescore double"
+    )
+    out = rp.rescore_window(
+        scored, secondary, k=4, window=2
+    ).orderBy("rank").collect()
+    # d2 (in window) blends 3+5=8 and overtakes d1 (4.0, no secondary);
+    # d3's huge secondary is IGNORED (outside the window) -> keeps 2.0
+    assert [(r.doc_id, r.score) for r in out] == [
+        (2, 8.0), (1, 4.0), (3, 2.0), (4, 1.0),
+    ]
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+
+
+def test_rescore_window_weights_and_k(spark):
+    scored = spark.createDataFrame(
+        [("q", i, float(10 - i)) for i in range(1, 6)],
+        "query_id string, doc_id long, bm25 double",
+    )
+    secondary = spark.createDataFrame([(5, 4.0)], "doc_id long, rescore double")
+    out = rp.rescore_window(
+        scored, secondary, k=2, window=5, query_weight=0.5, rescore_weight=2.0
+    ).orderBy("rank").collect()
+    # all in window: d1 0.5*9=4.5, d5 0.5*5+2*4=10.5 -> d5 first, k=2 rows
+    assert [(r.doc_id, r.score) for r in out] == [(5, 10.5), (1, 4.5)]

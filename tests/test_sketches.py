@@ -56,3 +56,53 @@ def test_hll_empty_input(spark):
     row = sketches.hll_cardinality(empty, "v").collect()[0]
     assert row["zero_registers"] == 512
     assert row["estimate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def _skewed(spark):
+    # 'hot' x 400, 'warm' x 50, 'v_i' x 1 for 200 tail items
+    return spark.range(650).selectExpr(
+        "CASE WHEN id < 400 THEN 'hot' WHEN id < 450 THEN 'warm' "
+        "ELSE concat('v_', id) END AS v"
+    )
+
+
+def test_cms_never_underestimates(spark):
+    est = {
+        r["item"]: r["estimate"]
+        for r in sketches.cms_point_estimates(
+            _skewed(spark), "v", ["hot", "warm", "v_500", "absent"]
+        ).collect()
+    }
+    assert est["hot"] >= 400
+    assert est["warm"] >= 50
+    assert est["v_500"] >= 1
+    # w=512 >> 200 distinct tail items: heavy hitters come back near-exact
+    assert est["hot"] <= 400 + 250  # loose union bound on collisions
+    assert est["absent"] >= 0
+
+
+def test_cms_counter_table_is_sketch_sized(spark):
+    cnt = sketches.cms_counters(_skewed(spark), "v")
+    assert cnt.count() <= sketches.CMS_D * sketches.CMS_W
+    # total mass per row j = total occurrences
+    per_row = {r["j"]: r["s"] for r in
+               cnt.groupBy("j").agg(__import__("pyspark").sql.functions.sum("counter").alias("s")).collect()}
+    assert set(per_row) == set(range(sketches.CMS_D))
+    assert all(v == 650 for v in per_row.values())
+
+
+def test_cms_absent_item_zero_when_buckets_untouched(spark):
+    tiny = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    est = {
+        r["item"]: r["estimate"]
+        for r in sketches.cms_point_estimates(
+            tiny, "v", ["a", "b", "zzz_never_seen"]
+        ).collect()
+    }
+    assert est["a"] == 2 and est["b"] == 1
+    # 3 occupied cells out of 2048: the absent probe hits empty cells
+    assert est["zzz_never_seen"] == 0
