@@ -882,3 +882,95 @@ from .entry_queries_retrieval import ORACLE_BM25F as _ORACLE_BM25F  # noqa: E402
 from .entry_queries import ORACLES as _REG_ORACLES  # noqa: E402
 
 _REG_ORACLES["bm25f_topk_from_index"] = _ORACLE_BM25F
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized ANN (ADC + exact rescore)
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = similarity.EMB_DIM // similarity.PQ_M
+
+
+def _pq_book_values() -> str:
+    rows = []
+    for j, book in enumerate(similarity.pq_codebooks()):
+        for cid, c in enumerate(book):
+            arr = "[" + ", ".join(f"{x:.6f}" for x in c) + "]::DOUBLE[]"
+            rows.append(f"({j}, {cid}, {arr}, {similarity._cn2(c)!r})")
+    return ", ".join(rows)
+
+
+ORACLE_ANN_PQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+books(j, cid, c, cn2) AS (VALUES {{books}}),
+subs AS (
+  SELECT vec_id, s.j, v[s.j*{_PQ_SUB}+1 : s.j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+  FROM e, unnest(generate_series(0, {similarity.PQ_M - 1})) AS s(j)
+),
+dist AS (
+  SELECT vec_id, s.j, b.cid, b.cn2 - 2*list_dot_product(s.sv, b.c) AS d, b.cn2
+  FROM subs s JOIN books b ON b.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, cid, cn2 FROM (
+    SELECT vec_id, j, cid, cn2,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+pqn AS (SELECT vec_id, sqrt(sum(cn2)) AS pq_nrm FROM codes GROUP BY vec_id),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+  FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+qsub AS (
+  SELECT query_id, s.j, qv[s.j*{_PQ_SUB}+1 : s.j*{_PQ_SUB}+{_PQ_SUB}] AS qsv
+  FROM q, unnest(generate_series(0, {similarity.PQ_M - 1})) AS s(j)
+),
+adc AS (
+  SELECT qs.query_id, c.vec_id, sum(list_dot_product(qs.qsv, b.c)) AS adc
+  FROM codes c
+  JOIN books b ON b.j = c.j AND b.cid = c.cid
+  JOIN qsub qs ON qs.j = c.j
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT a.query_id, a.vec_id, round(a.adc / (q.qn * p.pq_nrm), 6) AS approx
+  FROM adc a
+  JOIN q ON q.query_id = a.query_id
+  JOIN pqn p ON p.vec_id = a.vec_id
+  WHERE a.vec_id <> a.query_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx DESC, vec_id ASC) AS arank
+    FROM approx
+  ) WHERE arank <= {_SQ_M}
+),
+ex AS (
+  SELECT c.query_id, c.vec_id, c.approx,
+         round(list_dot_product(q.qv, e.v)
+               / (q.qn * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM cand c JOIN q USING (query_id) JOIN e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, approx, cos, rank FROM (
+  SELECT query_id, vec_id, approx, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM ex
+) WHERE rank <= {_SQ_K}
+""".replace("{books}", _pq_book_values())
+
+
+@register("ann_pq_topk", ORACLE_ANN_PQ)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: 8 subspaces x 16 fixed codebook centroids,
+    ADC scoring via per-query lookup tables, exact rescore of the top-30
+    pool, final top-10. The oracle replays encode (argmin by
+    ||c||^2 - 2*dot, centroid-id tie-break), the reconstructed-norm
+    denominator, and both ranking phases with identical literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_topk(
+        emb, [0, 1, 2, 3, 4], k=_SQ_K, rescore_multiplier=_SQ_M // _SQ_K
+    )

@@ -645,3 +645,145 @@ def sq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces: 64-dim -> 8 dims each
+PQ_K = 16  # centroids per subspace codebook (4-bit codes)
+
+
+def pq_codebooks(
+    dim: int = EMB_DIM, m: int = PQ_M, k: int = PQ_K
+) -> list[list[list[float]]]:
+    """[m][k][dim/m] deterministic per-subspace codebooks (6dp literals,
+    shared with the SQL oracle). Entries scale like unit-norm embedding
+    components (1/sqrt(dim)); a production deployment trains each
+    subspace's codebook with k-means on a corpus sample — the
+    encode / ADC plan below is identical either way, only the literal
+    centroid values change (same fixed-vs-kmeans split as the IVF
+    family)."""
+    rng = np.random.RandomState(_PLANE_SEED + 3)
+    sub = dim // m
+    books = rng.randn(m, k, sub) / math.sqrt(dim)
+    return [[[round(float(x), 6) for x in c] for c in book] for book in books]
+
+
+def _cn2(c: list[float]) -> float:
+    return float(sum(x * x for x in c))
+
+
+def pq_encode(emb: DataFrame, books: list | None = None) -> DataFrame:
+    """(vec_id, v, nrm, code0..code{m-1}, pq_nrm) — PQ encoding.
+
+    code_j = argmin over the subspace-j codebook of ||v_sub - c||^2,
+    computed as (||c||^2 - 2*dot) since ||v_sub||^2 is constant per
+    (vec, j); ties break on the smaller centroid id. pq_nrm is the norm
+    of the RECONSTRUCTED vector under the per-subspace independence of
+    PQ (sqrt of the sum of the chosen centroids' squared norms) — the
+    denominator the ADC cosine uses.
+
+    At 100 TB: m 4-bit codes replace dim floats (64x smaller than
+    float32 at these defaults), so the candidate scan streams from
+    codes + per-query lookup tables and never touches raw vectors until
+    the rescore pool. The encode itself is pure whole-stage-codegen
+    expression work — no shuffle, no Python."""
+    books = books or pq_codebooks()
+    m = len(books)
+    sub = len(books[0][0])
+    df = _vecs(emb).withColumn("nrm", norm(F.col("v")))
+    code_cols = []
+    for j, book in enumerate(books):
+        sv = F.slice(F.col("v"), j * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(_cn2(c))
+                        - F.lit(2.0) * dot(sv, F.array(*[F.lit(x) for x in c]))
+                    ).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        code_cols.append(F.array_sort(scored)[0]["c"].alias(f"code{j}"))
+    enc = df.select("vec_id", "v", "nrm", *code_cols)
+    # fixed left-to-right addition order (matches the oracle's rounded sum)
+    pq_n2 = None
+    for j, book in enumerate(books):
+        cn2s = F.array(*[F.lit(_cn2(c)) for c in book])
+        term = F.element_at(cn2s, F.col(f"code{j}") + 1)
+        pq_n2 = term if pq_n2 is None else pq_n2 + term
+    return enc.withColumn("pq_nrm", F.sqrt(pq_n2))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    rescore_multiplier: int = 3,
+    books: list | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, approx, cos, rank) — PQ/ADC cosine top-k with
+    exact rescore (the quantize-then-rescore recipe, as sq_topk).
+
+    ADC (asymmetric distance computation): the query stays full
+    precision; per query and subspace a 16-entry lookup table of
+    dot(q_sub, centroid) is computed ONCE, and each candidate's
+    approximate dot is m table lookups — no vector arithmetic in the
+    scan. approx cos = sum_j t_j[code_j] / (qnorm * pq_nrm). The top
+    k * rescore_multiplier by approx are rescored exactly; both ranks
+    run over 6-dp-rounded scores with vec_id tie-break (house
+    convention, engine-portable)."""
+    books = books or pq_codebooks()
+    m = len(books)
+    sub = len(books[0][0])
+    enc = pq_encode(emb, books)
+    q = _vecs(emb).filter(F.col("vec_id").isin(query_vec_ids))
+    luts = []
+    for j, book in enumerate(books):
+        qs = F.slice(F.col("v"), j * sub + 1, sub)
+        luts.append(
+            F.array(
+                *[dot(qs, F.array(*[F.lit(x) for x in c])) for c in book]
+            ).alias(f"t{j}")
+        )
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+        *luts,
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"t{j}"), F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    approx = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(adc / (F.col("qn") * F.col("pq_nrm")), 6).alias("approx"),
+            "v",
+            "nrm",
+        )
+    )
+    mm = k * rescore_multiplier
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = approx.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= mm
+    )
+    exact = cand.join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id").select(
+        "query_id",
+        "vec_id",
+        "approx",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -293,3 +293,63 @@ def test_sq_topk_matches_exact_on_separated_data(spark):
     }
     for r in sq_topk(emb, [0, 1], k=5, rescore_multiplier=4).collect():
         assert abs(r.cos - bf[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from bm25_pagerank_rpi_spark.operators import similarity as sim
+
+    emb, _ = _emb(spark)
+    enc = sim.pq_encode(emb)
+    rows = enc.collect()
+    assert len(rows) == N
+    for r in rows[:10]:
+        for j in range(sim.PQ_M):
+            assert 0 <= r[f"code{j}"] < sim.PQ_K
+        assert r["pq_nrm"] > 0
+    # same input -> identical codes (pure expression work, no sampling)
+    again = {r.vec_id: tuple(r[f"code{j}"] for j in range(sim.PQ_M))
+             for r in sim.pq_encode(emb).collect()}
+    first = {r.vec_id: tuple(r[f"code{j}"] for j in range(sim.PQ_M))
+             for r in rows}
+    assert again == first
+
+
+def test_pq_topk_rescore_is_exact_cosine(spark):
+    from bm25_pagerank_rpi_spark.operators import similarity as sim
+
+    emb, vecs = _emb(spark)
+    out = sim.pq_topk(emb, [0, 1], k=5, rescore_multiplier=6).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    for r in out:
+        expect = _np_cosine(vecs[r.query_id], vecs[r.vec_id])
+        assert abs(r.cos - expect) < 1e-5  # 6dp rounding on the spark side
+    # ranks are 1..5 without gaps, ordered by cos desc
+    for qid in (0, 1):
+        got = sorted((r.rank, -r.cos) for r in out if r.query_id == qid)
+        assert [g[0] for g in got] == [1, 2, 3, 4, 5]
+
+
+def test_pq_topk_recovers_exact_on_separated_clusters(spark):
+    import numpy as np
+
+    from bm25_pagerank_rpi_spark.operators import similarity as sim
+
+    # same regime as the SQ test: inter-cluster gaps dwarf quantization
+    # error, so the ADC pool contains the true top-k and the exact
+    # rescore restores the brute-force ranking
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 64) * 10
+    rows = []
+    for i in range(48):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in (c + rng.randn(64) * 0.01)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sim.brute_force_topk(emb, [0, 1], k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sim.pq_topk(emb, [0, 1], k=5, rescore_multiplier=6).collect()
+    }
+    assert pq == exact
