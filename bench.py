@@ -254,6 +254,18 @@ def main() -> None:
                     )),
                     "scan_frac": round(nprobe / len(cents), 4),
                 }
+        # PQ quality: ADC scans ALL codes (compression, not pruning — the
+        # scan reads 4-bit codes instead of floats), so the knob is the
+        # exact-rescore pool width, not a scan fraction.
+        out["pq_kmeans"] = {}
+        pq_books = similarity.pq_codebooks_kmeans(emb_df)
+        for mult in (1, 3):
+            out["pq_kmeans"][f"mult{mult}"] = {
+                "recall": rec(similarity.pq_topk(
+                    emb_df, ANN_QUERY_IDS, k=10,
+                    rescore_multiplier=mult, books=pq_books,
+                )),
+            }
         return out
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

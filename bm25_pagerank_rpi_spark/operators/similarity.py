@@ -787,3 +787,54 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = _PLANE_SEED + 3,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks fit by SAMPLED k-means (standard Lloyd in
+    each subspace, Euclidean — PQ quantizes raw subvectors, not
+    directions). Same sampling contract as kmeans_centroids: at most
+    ``sample`` vectors reach the driver via a deterministic hash-mod
+    stripe, the corpus is never collected, and everything downstream
+    (pq_encode / pq_topk) is the identical plan with different literals.
+    This is the production codebook path the fixed ``pq_codebooks``
+    stand in for in the data-independent driver oracle."""
+    vecs = _vecs(emb)
+    total = vecs.count()
+    if total == 0:
+        return pq_codebooks(m=m, k=k)
+    mod = max(1, total // sample)
+    rows = (
+        vecs.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        s = mat[:, j * sub : (j + 1) * sub]
+        kk = min(k, s.shape[0])
+        cents = s[rng.choice(s.shape[0], kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                members = s[assign == c]
+                if members.size == 0:
+                    cents[c] = s[rng.randint(s.shape[0])]
+                else:
+                    cents[c] = members.mean(axis=0)
+        if kk < k:  # degenerate tiny corpus: pad from the fixed books
+            fixed = np.array(pq_codebooks(dim=dim, m=m, k=k)[j])
+            cents = np.vstack([cents, fixed[kk - k :]])
+        books.append([[round(float(x), 6) for x in c] for c in cents])
+    return books
