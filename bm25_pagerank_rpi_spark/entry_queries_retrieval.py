@@ -1807,3 +1807,53 @@ def q_rescore_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc, flags, k=_RESCORE_K, window=_RESCORE_WINDOW
     )
     return out.select("doc_id", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# ES boosting query (negative-query demotion without exclusion)
+# ---------------------------------------------------------------------------
+
+_BOOSTING_NEG = 0.2
+
+ORACLE_BOOSTING = SQL_SKELETON + f"""
+, demoted AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({", ".join(repr(t) for t in NOT_NEG_TEXT.split())})
+),
+adj AS (
+  SELECT p.doc_id,
+         round(CASE WHEN d.doc_id IS NOT NULL
+               THEN round(p.bm25, 6) * {_BOOSTING_NEG!r}
+               ELSE round(p.bm25, 6) END, 6) AS bm25
+  FROM perdoc p LEFT JOIN demoted d ON d.doc_id = p.doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)::INT AS rank
+  FROM adj
+) WHERE rank <= 20
+"""
+
+
+@register("boosting_topk", ORACLE_BOOSTING)
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: canonical positive query; docs containing
+    'batch' or 'merge' are demoted to 0.2x their BM25 instead of being
+    excluded (compare bm25_not_topk, the hard-NOT twin on the same
+    negative set)."""
+    from .entry_queries import QUERY_TEXT
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q1", QUERY_TEXT, NOT_NEG_TEXT)],
+        "query_id string, text string, neg_text string",
+    )
+    out = retrieval_plus.boosting_topk(
+        docs, queries, negative_boost=_BOOSTING_NEG, k=1000
+    )
+    w = Window.orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id"))
+    return (
+        out.select("doc_id", _r("bm25").alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )

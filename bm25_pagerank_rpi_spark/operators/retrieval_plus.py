@@ -900,6 +900,59 @@ def bm25_not_topk(
     return scorer.topk(kept, k)
 
 
+def boosting_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    negative_boost: float = 0.2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``boosting`` query — demotion without exclusion, the soft
+    sibling of :func:`bm25_not_topk`: docs matched by the positive query
+    keep their BM25 score unless they ALSO contain a negative-query
+    term, in which case the score is multiplied by ``negative_boost``
+    (0..1). ``queries`` carries (query_id, text, neg_text).
+
+    Plan shape is identical to NOT exclusion: one broadcast semi-join
+    finds demoted (query_id, doc_id) pairs and ONE left join applies the
+    factor on the scored relation — no second corpus scan, no second
+    scoring kernel. Final rank on the 6-dp-rounded demoted score with
+    doc_id tie-break (house convention)."""
+    dtf = scorer.doc_term_frequencies(docs, id_col, text_col)
+    dlen = scorer.doc_lengths(docs, id_col, text_col)
+    scored = scorer.score_candidates(
+        dtf, dlen, scorer.corpus_stats(dlen),
+        queries.select("query_id", "text"),
+    ).select("query_id", "doc_id", "bm25")
+    neg_terms = (
+        scorer.query_term_occurrences(
+            queries.select("query_id", F.col("neg_text").alias("text"))
+        )
+        .select("query_id", "term")
+        .distinct()
+    )
+    demoted = (
+        dtf.select("term", "doc_id")
+        .join(F.broadcast(neg_terms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("_demote", F.lit(True))
+    )
+    primary_r = F.round(F.col("bm25"), 6)  # demote the 6-dp score (house convention)
+    out = scored.join(demoted, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.when(
+                F.col("_demote"), primary_r * F.lit(negative_boost)
+            ).otherwise(primary_r),
+            6,
+        ).alias("bm25"),
+    )
+    return scorer.topk(out, k)
+
+
 def significant_terms(
     docs: DataFrame,
     queries: DataFrame,

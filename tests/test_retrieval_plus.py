@@ -1479,3 +1479,37 @@ def test_rescore_window_weights_and_k(spark):
     ).orderBy("rank").collect()
     # all in window: d1 0.5*9=4.5, d5 0.5*5+2*4=10.5 -> d5 first, k=2 rows
     assert [(r.doc_id, r.score) for r in out] == [(5, 10.5), (1, 4.5)]
+
+
+def test_boosting_topk_demotes_without_excluding(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple"),          # strong match, no neg
+            (2, "apple apple apple banana"),   # strong match + neg term
+            (3, "apple"),                      # weak match, no neg
+            (4, "cherry"),                     # no positive match
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q", "apple", "banana")],
+        "query_id string, text string, neg_text string",
+    )
+    out = {r.doc_id: (r.bm25, r.rank) for r in
+           rp.boosting_topk(docs, queries, negative_boost=0.5, k=10).collect()}
+    # doc 4 never matched the positive query -> absent, NOT demoted-in
+    assert set(out) == {1, 2, 3}
+    hard = {r.doc_id for r in
+            rp.bm25_not_topk(docs, queries, k=10).collect()}
+    # the hard NOT drops doc 2; boosting keeps it with half the score
+    assert hard == {1, 3}
+    import math
+    full = rp.bm25_not_topk(
+        docs, queries.select("query_id", "text",
+                             queries.neg_text.substr(1, 0).alias("neg_text")),
+        k=10,
+    )
+    base = {r.doc_id: r.bm25 for r in full.collect()}
+    assert math.isclose(out[2][0], round(round(base[2], 6) * 0.5, 6),
+                        abs_tol=1e-9)
+    assert math.isclose(out[1][0], round(base[1], 6), abs_tol=1e-9)
