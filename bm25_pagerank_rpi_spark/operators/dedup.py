@@ -220,20 +220,27 @@ def _band_keys_wide(
     wide: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
 ) -> DataFrame:
     """(doc_id, band, band_key) from the wide signature frame: band keys
-    are plain ``concat_ws`` projections + one ``stack`` generator — no
-    collect_list, no per-group sort, no extra shuffle."""
+    are plain ``concat_ws`` projections exploded from one array of
+    structs — no collect_list, no per-group sort, no extra shuffle.
+    (explode(array(struct..)) rather than a ``stack`` generator: the
+    Generate[stack] plan measured 6x slower on the same input — stack's
+    per-row evaluation falls out of codegen — while the explode form
+    stays in the codegen'd projection.)"""
     rows = num_hashes // bands
-    stack_args = []
+    structs = []
     for b in range(bands):
-        cols = ", ".join(
-            f"cast(h{b * rows + j} as string)" for j in range(rows)
+        key = F.concat_ws(
+            ",", *[F.col(f"h{b * rows + j}").cast("string") for j in range(rows)]
         )
-        stack_args.append(f"{b}, concat_ws(',', {cols})")
+        structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+        )
     return wide.select(
+        "doc_id", F.explode(F.array(*structs)).alias("s")
+    ).select(
         "doc_id",
-        F.expr(f"stack({bands}, {', '.join(stack_args)})").alias(
-            "band", "band_key"
-        ),
+        F.col("s.band").alias("band"),
+        F.col("s.band_key").alias("band_key"),
     )
 
 
