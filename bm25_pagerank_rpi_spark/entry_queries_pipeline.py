@@ -1210,3 +1210,145 @@ def q_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = keep_first(ev, ["event_type", "value"], ts_col="ts", id_col="event_id")
     return out.select("event_id", "user_id", "event_type", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline summary (plans/curation.py): the staged composition
+# exact-dedup -> near-dup -> quality -> decontaminate -> split, with
+# per-stage survivor counts as the value-checked manifest. The oracle
+# replays every stage by composing the SAME SQL fragments the individual
+# pair oracles use, re-sourced onto each stage's survivor relation.
+# ---------------------------------------------------------------------------
+
+_CUR_QUALITY_T = 0.65
+_CUR_CONTAM_MAX = 0.5
+
+ORACLE_CURATION = f"""
+WITH {SQL_DOCS_AUG},
+hashed AS (SELECT doc_id, {phash_sql('text')} AS content_hash FROM docs_aug),
+grp AS (
+  SELECT content_hash, min(doc_id) AS canonical_id
+  FROM hashed GROUP BY content_hash HAVING count(*) >= 2
+),
+s1 AS (
+  SELECT d.doc_id, d.text FROM docs_aug d
+  WHERE d.doc_id NOT IN (
+    SELECT h.doc_id FROM hashed h JOIN grp g USING (content_hash)
+    WHERE h.doc_id <> g.canonical_id)
+),
+{SQL_TOK_SH.replace("FROM docs_aug", "FROM s1").lstrip()},
+{SQL_MINHASH.lstrip()},
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         i.inter::DOUBLE / (za.n_sh + zb.n_sh - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+s2 AS (
+  SELECT s1.doc_id, s1.text FROM s1
+  WHERE s1.doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.7)
+),
+ftok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM s2
+),
+ffeats AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9_ \\t\\n]'))::DOUBLE / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, lower(t))))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS unique_token_ratio
+  FROM ftok
+),
+fq AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+         + 0.25 * least(stopword_ratio * 5, 1.0)
+         + 0.25 * unique_token_ratio AS quality_score
+  FROM ffeats
+),
+s3 AS (
+  SELECT s2.doc_id, s2.text FROM s2 JOIN fq USING (doc_id)
+  WHERE round(quality_score, 6) >= {_CUR_QUALITY_T!r}
+),
+ctok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM s3
+),
+cbtok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 50 = 0
+),
+cbench AS (
+  SELECT DISTINCT u.g FROM cbtok, unnest({_ngram_sql(_CONTAM_N)}) AS u(g)
+  WHERE len(t) >= {_CONTAM_N}
+),
+cex AS (
+  SELECT doc_id, u.g FROM ctok, unnest(list_distinct({_ngram_sql(_CONTAM_N)})) AS u(g)
+  WHERE len(t) >= {_CONTAM_N}
+),
+chit AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN g IN (SELECT g FROM cbench) THEN 1 ELSE 0 END) AS n_cont
+  FROM cex GROUP BY doc_id
+),
+cfrac AS (
+  SELECT ctok.doc_id,
+         round(CASE WHEN coalesce(n_ngrams, 0) > 0
+               THEN n_cont::DOUBLE / n_ngrams ELSE 0.0 END, 6) AS frac
+  FROM ctok LEFT JOIN chit USING (doc_id)
+),
+s4 AS (
+  SELECT s3.doc_id FROM s3 JOIN cfrac USING (doc_id)
+  WHERE frac <= {_CUR_CONTAM_MAX!r}
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN h < 8000 THEN 'train'
+              WHEN h < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           {phash_sql("'split-v1-' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+    FROM s4
+  )
+)
+SELECT 'exact_dedup' AS stage,
+       (SELECT count(*) FROM docs_aug) AS docs_in,
+       (SELECT count(*) FROM s1) AS docs_out
+UNION ALL SELECT 'near_dup', (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+UNION ALL SELECT 'quality', (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+UNION ALL SELECT 'decontaminate', (SELECT count(*) FROM s3), (SELECT count(*) FROM s4)
+UNION ALL
+SELECT 'split_' || split, (SELECT count(*) FROM s4), count(*)
+FROM sp GROUP BY split
+"""
+
+
+@register("curation_summary", ORACLE_CURATION)
+def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training curation pipeline over the augmented corpus
+    (planted exact + near dups): per-stage survivor counts plus final
+    split sizes, value-checked stage by stage against the composed SQL
+    replay. Benchmark relation for decontamination = every 50th original
+    document (the ngram_contamination pair's convention)."""
+    from .plans import curation
+
+    docs = _docs_aug(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+    return curation.curation_summary(
+        docs,
+        bench,
+        quality_threshold=_CUR_QUALITY_T,
+        contamination_max=_CUR_CONTAM_MAX,
+        contamination_n=_CONTAM_N,
+    )
