@@ -1166,6 +1166,12 @@ from . import entry_queries_extras  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_UNSEEN_FIRST = [
+    # round-4.9 additions: never in any CORRECTNESS_r*.json
+    "cms_term_counts",
+    "rescore_phrase_topk",
+    "ann_pq_topk",
+    "boosting_topk",
+    "curation_summary",
     # round-4.7 additions: never in any CORRECTNESS_r*.json
     "term_vectors",
     "index_stats",
