@@ -1167,6 +1167,7 @@ from . import entry_queries_extras  # noqa: E402,F401
 
 _DRIVER_UNSEEN_FIRST = [
     # round-4.9 additions: never in any CORRECTNESS_r*.json
+    "ann_ivfpq_topk",
     "cms_term_counts",
     "rescore_phrase_topk",
     "ann_pq_topk",

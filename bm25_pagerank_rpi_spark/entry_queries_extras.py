@@ -974,3 +974,105 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, [0, 1, 2, 3, 4], k=_SQ_K, rescore_multiplier=_SQ_M // _SQ_K
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (coarse-cell pruning x PQ/ADC compression + exact rescore)
+# ---------------------------------------------------------------------------
+
+from .entry_queries_pipeline import _centroid_values  # noqa: E402
+
+ORACLE_ANN_IVFPQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(ccid, cc) AS (VALUES {{cents}}),
+books(j, cid, c, cn2) AS (VALUES {{books}}),
+scoredc AS (
+  SELECT e.vec_id, e.v, cents.ccid, list_dot_product(e.v, cents.cc) AS d
+  FROM e CROSS JOIN cents
+),
+rankedc AS (
+  SELECT vec_id, v, ccid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, ccid DESC) AS rn
+  FROM scoredc
+),
+assign AS (SELECT vec_id, ccid AS cell FROM rankedc WHERE rn = 1),
+subs AS (
+  SELECT vec_id, s.j, v[s.j*{_PQ_SUB}+1 : s.j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+  FROM e, unnest(generate_series(0, {similarity.PQ_M - 1})) AS s(j)
+),
+dist AS (
+  SELECT vec_id, s.j, b.cid, b.cn2 - 2*list_dot_product(s.sv, b.c) AS d, b.cn2
+  FROM subs s JOIN books b ON b.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, cid, cn2 FROM (
+    SELECT vec_id, j, cid, cn2,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+pqn AS (SELECT vec_id, sqrt(sum(cn2)) AS pq_nrm FROM codes GROUP BY vec_id),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+  FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+qprobe AS (
+  SELECT vec_id AS query_id, ccid AS cell
+  FROM rankedc WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= {similarity.NPROBE}
+),
+qsub AS (
+  SELECT query_id, s.j, qv[s.j*{_PQ_SUB}+1 : s.j*{_PQ_SUB}+{_PQ_SUB}] AS qsv
+  FROM q, unnest(generate_series(0, {similarity.PQ_M - 1})) AS s(j)
+),
+cand0 AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobe qp JOIN assign a USING (cell)
+  WHERE a.vec_id <> qp.query_id
+),
+adc AS (
+  SELECT c0.query_id, c0.vec_id, sum(list_dot_product(qs.qsv, b.c)) AS adc
+  FROM cand0 c0
+  JOIN codes c ON c.vec_id = c0.vec_id
+  JOIN books b ON b.j = c.j AND b.cid = c.cid
+  JOIN qsub qs ON qs.query_id = c0.query_id AND qs.j = c.j
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT a.query_id, a.vec_id, round(a.adc / (q.qn * p.pq_nrm), 6) AS approx
+  FROM adc a
+  JOIN q ON q.query_id = a.query_id
+  JOIN pqn p ON p.vec_id = a.vec_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx DESC, vec_id ASC) AS arank
+    FROM approx
+  ) WHERE arank <= {_SQ_M}
+),
+ex AS (
+  SELECT c.query_id, c.vec_id, c.approx,
+         round(list_dot_product(q.qv, e.v)
+               / (q.qn * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM cand c JOIN q USING (query_id) JOIN e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, approx, cos, rank FROM (
+  SELECT query_id, vec_id, approx, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM ex
+) WHERE rank <= {_SQ_K}
+""".replace("{books}", _pq_book_values()).replace("{cents}", _centroid_values())
+
+
+@register("ann_ivfpq_topk", ORACLE_ANN_IVFPQ)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: nprobe coarse cells prune the candidate set, PQ/ADC table
+    lookups score it, exact rescore of the top-30 pool, final top-10 —
+    the FAISS IVFx,PQy serving architecture with both fixed-literal
+    quantizers replayed by the oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivfpq_topk(
+        emb, [0, 1, 2, 3, 4], k=_SQ_K,
+        rescore_multiplier=_SQ_M // _SQ_K,
+    )

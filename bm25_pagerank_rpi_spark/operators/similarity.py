@@ -838,3 +838,82 @@ def pq_codebooks_kmeans(
             cents = np.vstack([cents, fixed[kk - k :]])
         books.append([[round(float(x), 6) for x in c] for c in cents])
     return books
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    nprobe: int = NPROBE,
+    rescore_multiplier: int = 3,
+    cents: list[list[float]] | None = None,
+    books: list | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, approx, cos, rank) — IVF-PQ: the composition
+    both halves exist for (the FAISS `IVFx,PQy` architecture, Jegou et
+    al. 2011 §V). The coarse quantizer PRUNES — a query touches only its
+    nprobe nearest cells' rows (partition pruning when the table is
+    written partitioned by cell) — and PQ COMPRESSES what remains: the
+    probed candidates are scored via ADC table lookups over m 4-bit
+    codes, never raw vectors. Exact rescore of the top pool restores
+    full precision exactly as pq_topk/sq_topk.
+
+    At 10^12 turns this is the serving-shape ANN: scan fraction
+    nprobe/n_cells, bytes-per-candidate m/2, both knobs independent.
+    Fixed-literal centroids + codebooks keep the driver oracle
+    data-independent; pass kmeans_centroids / pq_codebooks_kmeans for
+    real corpora — the plan is identical."""
+    cents = cents or ivf_centroids()
+    books = books or pq_codebooks()
+    m = len(books)
+    sub = len(books[0][0])
+    enc = pq_encode(emb, books).withColumn(
+        "cell", _nearest_cells(F.col("v"), cents, 1)[0]
+    )
+    q_base = _vecs(emb).filter(F.col("vec_id").isin(query_vec_ids))
+    luts = []
+    for j, book in enumerate(books):
+        qs = F.slice(F.col("v"), j * sub + 1, sub)
+        luts.append(
+            F.array(
+                *[dot(qs, F.array(*[F.lit(x) for x in c])) for c in book]
+            ).alias(f"t{j}")
+        )
+    q = q_base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+        F.explode(_nearest_cells(F.col("v"), cents, nprobe)).alias("cell"),
+        *luts,
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"t{j}"), F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    approx = (
+        enc.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(adc / (F.col("qn") * F.col("pq_nrm")), 6).alias("approx"),
+            "v",
+            "nrm",
+        )
+    )
+    mm = k * rescore_multiplier
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = approx.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= mm
+    )
+    qv = q.select("query_id", "qv", "qn").dropDuplicates(["query_id"])
+    exact = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "vec_id",
+        "approx",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -353,3 +353,54 @@ def test_pq_topk_recovers_exact_on_separated_clusters(spark):
         for r in sim.pq_topk(emb, [0, 1], k=5, rescore_multiplier=6).collect()
     }
     assert pq == exact
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark):
+    from bm25_pagerank_rpi_spark.operators import similarity as sim
+
+    emb, _ = _emb(spark)
+    cents = sim.ivf_centroids(dim=DIM)
+    books = sim.pq_codebooks(dim=DIM, m=4, k=8)
+    out = sim.ivfpq_topk(emb, [0], k=5, nprobe=2, rescore_multiplier=4,
+                         cents=cents, books=books).collect()
+    assert 0 < len(out) <= 5
+    # every returned candidate's assigned cell is one of the query's
+    # 2 probed cells
+    assigned = {
+        r.vec_id: r.cell for r in sim.with_ivf_cell(emb, cents).collect()
+    }
+    import numpy as np
+    qv = [r.v for r in sim._vecs(emb).filter("vec_id = 0").collect()][0]
+    sims = np.array(cents) @ np.array(qv)
+    order = sorted(range(len(cents)), key=lambda c: (-sims[c], -c))
+    probed = set(order[:2])
+    for r in out:
+        assert assigned[r.vec_id] in probed
+    # rescore column is the exact cosine
+    for r in out:
+        vecs = {x.vec_id: x.v for x in sim._vecs(emb).collect()}
+        assert abs(r.cos - _np_cosine(np.array(qv), np.array(vecs[r.vec_id]))) < 1e-5
+        break
+
+
+def test_ivfpq_matches_pq_at_full_probe(spark):
+    from bm25_pagerank_rpi_spark.operators import similarity as sim
+
+    emb, _ = _emb(spark)
+    cents = sim.ivf_centroids(dim=DIM)
+    books = sim.pq_codebooks(dim=DIM, m=4, k=8)
+    # probing ALL cells makes IVF pruning a no-op -> ivfpq == pq exactly
+    full = {
+        (r.query_id, r.rank): (r.vec_id, r.cos)
+        for r in sim.ivfpq_topk(
+            emb, [0, 1], k=5, nprobe=sim.N_CENTROIDS, rescore_multiplier=4,
+            cents=cents, books=books,
+        ).collect()
+    }
+    pq = {
+        (r.query_id, r.rank): (r.vec_id, r.cos)
+        for r in sim.pq_topk(
+            emb, [0, 1], k=5, rescore_multiplier=4, books=books
+        ).collect()
+    }
+    assert full == pq
