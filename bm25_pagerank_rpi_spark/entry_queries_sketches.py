@@ -133,3 +133,34 @@ def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_point_estimates(
         _term_occurrences(spark, sf_dir), "term", _CMS_ITEMS
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged per-segment sketches: the distributed property, value-checked.
+# Sketch each half of the corpus independently, merge the <= m-row /
+# <= d*w-row sketch tables, and emit — BIT-IDENTICAL to sketching the
+# union directly, so each pair reuses the direct path's oracle verbatim.
+# ---------------------------------------------------------------------------
+
+def _term_occurrences_half(spark, sf_dir, parity: int):
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == parity)
+        .select(F.explode(tokens_col("text")).alias("term"))
+    )
+
+
+@register("hll_merged_terms", ORACLE_HLL)
+def q_hll_merged_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = sketches.hll_registers(_term_occurrences_half(spark, sf_dir, 0), "term")
+    b = sketches.hll_registers(_term_occurrences_half(spark, sf_dir, 1), "term")
+    return sketches.hll_cardinality_from_registers(sketches.hll_merge(a, b))
+
+
+@register("cms_merged_counts", ORACLE_CMS)
+def q_cms_merged_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = sketches.cms_counters(_term_occurrences_half(spark, sf_dir, 0), "term")
+    b = sketches.cms_counters(_term_occurrences_half(spark, sf_dir, 1), "term")
+    return sketches.cms_point_estimates_from_counters(
+        sketches.cms_merge(a, b), _CMS_ITEMS
+    )

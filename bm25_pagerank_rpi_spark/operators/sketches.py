@@ -93,16 +93,22 @@ def hll_registers(values: DataFrame, col: str) -> DataFrame:
     )
 
 
-def hll_cardinality(values: DataFrame, col: str) -> DataFrame:
-    """1-row (m, zero_registers, sum_scaled, estimate): HLL estimate.
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union per-segment register tables into one sketch: max per
+    register. HLL's register max is associative/commutative/idempotent,
+    so merging N segment sketches is BIT-IDENTICAL to sketching the
+    union directly — the property that lets every segment/partition
+    sketch independently and a coordinator combine <= m-row tables."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
 
-    sum_scaled = sum over ALL m registers of 2^(RHO_CAP - rho), with
-    rho = 0 for absent registers (2^RHO_CAP each) — exact BIGINT, so the
-    raw estimate alpha * m^2 * 2^RHO_CAP / sum_scaled is one IEEE
-    division. Small-range correction: raw <= 2.5m and zero registers
-    present => linear counting m * ln(m / zero_registers)."""
+
+def hll_cardinality_from_registers(regs: DataFrame) -> DataFrame:
+    """Estimate from a (register, max_rho) table — shared by the direct
+    path and merged per-segment sketches (:func:`hll_merge`)."""
     m = 1 << HLL_P
-    regs = hll_registers(values, col)
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_regs"),
         # shiftleft needs a literal shift in the python API -> expr form
@@ -128,6 +134,17 @@ def hll_cardinality(values: DataFrame, col: str) -> DataFrame:
         sum_scaled.cast("long").alias("sum_scaled"),
         F.round(est, 6).alias("estimate"),
     )
+
+
+def hll_cardinality(values: DataFrame, col: str) -> DataFrame:
+    """1-row (m, zero_registers, sum_scaled, estimate): HLL estimate.
+
+    sum_scaled = sum over ALL m registers of 2^(RHO_CAP - rho), with
+    rho = 0 for absent registers (2^RHO_CAP each) — exact BIGINT, so the
+    raw estimate alpha * m^2 * 2^RHO_CAP / sum_scaled is one IEEE
+    division. Small-range correction: raw <= 2.5m and zero registers
+    present => linear counting m * ln(m / zero_registers)."""
+    return hll_cardinality_from_registers(hll_registers(values, col))
 
 
 # ---------------------------------------------------------------------------
@@ -181,8 +198,28 @@ def cms_point_estimates(
     "how often", not "which items"); it broadcasts against the d*w-row
     counter table, so the probe costs nothing at corpus scale. Untouched
     buckets estimate 0 via the left-join coalesce."""
-    cnt = cms_counters(values, col, d, w)
-    spark = values.sparkSession
+    return cms_point_estimates_from_counters(
+        cms_counters(values, col, d, w), items, d, w
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Union per-segment CMS tables into one sketch: cell-wise counter
+    addition. Like the HLL register max, CMS addition is associative and
+    commutative, so N segment sketches merge into a table bit-identical
+    to sketching the union directly — each merge input is <= d*w rows."""
+    out = counter_tables[0]
+    for t in counter_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("j", "bucket").agg(F.sum("counter").alias("counter"))
+
+
+def cms_point_estimates_from_counters(
+    cnt: DataFrame, items: list[str], d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point estimates against a prebuilt / merged counter table
+    (shared tail of :func:`cms_point_estimates`)."""
+    spark = cnt.sparkSession
     idf = spark.createDataFrame([(it,) for it in items], "item string")
     probe_buckets = [
         F.pmod(

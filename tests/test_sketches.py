@@ -106,3 +106,28 @@ def test_cms_absent_item_zero_when_buckets_untouched(spark):
     assert est["a"] == 2 and est["b"] == 1
     # 3 occupied cells out of 2048: the absent probe hits empty cells
     assert est["zzz_never_seen"] == 0
+
+
+def test_merged_sketches_equal_direct(spark):
+    vals = _values(spark, 800, dup=2).withColumn(
+        "part", __import__("pyspark").sql.functions.expr("abs(hash(v)) % 3")
+    )
+    parts = [vals.filter(f"part = {i}").select("v") for i in range(3)]
+    # HLL: merged register table == direct register table
+    direct = {(r.register, r.max_rho)
+              for r in sketches.hll_registers(vals, "v").collect()}
+    merged_regs = sketches.hll_merge(
+        *[sketches.hll_registers(p, "v") for p in parts]
+    )
+    assert {(r.register, r.max_rho) for r in merged_regs.collect()} == direct
+    assert (
+        sketches.hll_cardinality_from_registers(merged_regs).collect()
+        == sketches.hll_cardinality(vals, "v").collect()
+    )
+    # CMS: merged counter table == direct counter table
+    dcnt = {(r.j, r.bucket): r.counter
+            for r in sketches.cms_counters(vals, "v").collect()}
+    mcnt = {(r.j, r.bucket): r.counter
+            for r in sketches.cms_merge(
+                *[sketches.cms_counters(p, "v") for p in parts]).collect()}
+    assert mcnt == dcnt
