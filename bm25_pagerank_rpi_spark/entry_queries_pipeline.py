@@ -1352,3 +1352,73 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_max=_CUR_CONTAM_MAX,
         contamination_n=_CONTAM_N,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis), weighted by
+# the quality score — the subsample-proportional-to-quality curation step.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+_POW60 = float(1 << 60)
+
+ORACLE_WSAMPLE = rf"""
+WITH wtok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+wfeats AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n]'))::DOUBLE / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, lower(t))))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS unique_token_ratio
+  FROM wtok
+),
+wq AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+         + 0.25 * least(stopword_ratio * 5, 1.0)
+         + 0.25 * unique_token_ratio AS quality_score
+  FROM wfeats
+),
+keyed AS (
+  SELECT doc_id, quality_score AS weight,
+         round(pow(
+           ({phash_sql("'wsample-v1-' || CAST(doc_id AS VARCHAR)")}::DOUBLE + 1.0)
+             / {_POW60!r},
+           1.0 / quality_score), 6) AS wkey
+  FROM wq WHERE quality_score > 0
+)
+SELECT doc_id, round(weight, 6) AS weight, wkey, rank FROM (
+  SELECT doc_id, weight, wkey,
+         row_number() OVER (ORDER BY wkey DESC, doc_id ASC)::INT AS rank
+  FROM keyed
+) WHERE rank <= {_WSAMPLE_K}
+"""
+
+
+@register("weighted_sample_topk", ORACLE_WSAMPLE)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sample of 50 documents: key =
+    u^(1/quality_score) with u a pure hash of (salt, doc_id) — k
+    sequential weighted draws without replacement, engine-replayable."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.join(
+        textstats.quality_features(docs).select("doc_id", "quality_score"),
+        "doc_id",
+    )
+    out = textstats.weighted_sample(
+        scored, "quality_score", k=_WSAMPLE_K
+    )
+    return out.select(
+        "doc_id", _r("weight").alias("weight"), "wkey", "rank"
+    )

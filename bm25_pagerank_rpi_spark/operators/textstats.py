@@ -723,3 +723,51 @@ def dsir_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "weight", "rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """(id, weight, wkey, rank) — deterministic weighted sampling WITHOUT
+    replacement (Efraimidis & Spirakis 2006): key_i = u_i^(1/w_i) with
+    u_i a uniform in (0, 1]; the k largest keys are distributed exactly
+    as k sequential weighted draws without replacement. Rows with
+    weight <= 0 are excluded (their draw probability is 0).
+
+    u_i comes from the portable 60-bit hash of (salt, id) — the same
+    derandomization as dataset_split/dataset_mix, so the sample is a
+    pure function of (salt, id, weight): stable across runs,
+    partitionings, and engine (the SQL oracle replays it exactly), and
+    any surviving row keeps its key when the corpus grows. Keys are
+    6-dp-rounded before ranking with id tie-break (house convention) so
+    pow()'s last-ulp engine differences cannot flip an ordering.
+
+    Scale shape: one zero-shuffle projection computes keys, then the
+    rank-k filter is a per-partition top-k (TakeOrderedAndProject /
+    WindowGroupLimit) — no global sort of the corpus. This is the
+    quality-weighted corpus subsampling step (sample proportional to
+    quality/importance scores) that sits between scoring and packing in
+    a curation pipeline."""
+    u = (
+        phash(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string")))
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.round(F.pow(u, F.lit(1.0) / w), 6).alias("wkey"),
+        )
+    )
+    win = Window.orderBy(F.desc("wkey"), F.asc(id_col))
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

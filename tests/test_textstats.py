@@ -383,3 +383,34 @@ def test_dsir_importance_closed_form(spark):
     exp2 = 1 * lr(1, 2) + 1 * lr(0, 1)
     assert abs(got[1] - exp1) < 1e-12
     assert abs(got[2] - exp2) < 1e-12
+
+
+def test_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from bm25_pagerank_rpi_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 5 else 0.1) for i in range(100)]
+        + [(200, 0.0), (201, -1.0)],
+        "doc_id long, w double",
+    )
+    out = textstats.weighted_sample(df, "w", k=10).collect()
+    assert len(out) == 10
+    ids = [r.doc_id for r in out]
+    # zero/negative weights can never be drawn
+    assert 200 not in ids and 201 not in ids
+    # heavy weights (w=10 vs 0.1) dominate the sample: all 5 heavy rows in
+    picked_heavy = sum(1 for i in ids if i < 5)
+    assert picked_heavy == 5
+    # ranks are 1..10, keys non-increasing
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, 11))
+    keys = [r.wkey for r in sorted(out, key=lambda r: r.rank)]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+    # determinism: same salt -> identical sample; different salt -> different keys
+    again = [r.doc_id for r in textstats.weighted_sample(df, "w", k=10).collect()]
+    assert again == ids
+    other = {r.doc_id: r.wkey for r in
+             textstats.weighted_sample(df, "w", k=10, salt="other").collect()}
+    first = {r.doc_id: r.wkey for r in out}
+    assert other != first
