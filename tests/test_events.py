@@ -126,3 +126,31 @@ def test_histogram_pipeline_windows(spark):
     assert [r.deriv for r in got[1:]] == [-1, 2]
     assert abs(got[2].mavg - 2.0) < 1e-12  # (2+1+3)/3
     assert abs(got[1].mavg - 1.5) < 1e-12  # trailing window shorter at head
+
+
+def test_matrix_stats_closed_form(spark):
+    import numpy as np
+
+    from bm25_pagerank_rpi_spark.operators import events as ev
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(200)
+    y = 2.0 * x + rng.randn(200) * 0.1   # strongly correlated
+    # exactly-representable constant: the moment form detects zero
+    # variance only when the float arithmetic cancels exactly
+    z = np.full(200, 3.0)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    out = {(r.field_a, r.field_b): r for r in
+           ev.matrix_stats(df, ["x", "y", "z"]).collect()}
+    assert set(out) == {("x","x"),("x","y"),("x","z"),("y","y"),("y","z"),("z","z")}
+    assert out[("x", "y")]["count"] == 200
+    assert abs(out[("x", "x")].covariance - np.var(x)) < 1e-5
+    assert abs(out[("x", "y")].covariance - np.cov(x, y, bias=True)[0][1]) < 1e-5
+    assert abs(out[("x", "y")].correlation - np.corrcoef(x, y)[0][1]) < 1e-5
+    # constant field: zero variance -> NULL correlation, zero covariance
+    assert out[("x", "z")].correlation is None
+    assert abs(out[("x", "z")].covariance) < 1e-6
+    assert abs(out[("x", "x")].mean_a - x.mean()) < 1e-5
