@@ -1166,61 +1166,11 @@ from . import entry_queries_extras  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_UNSEEN_FIRST = [
-    # round-4.9 additions: never in any CORRECTNESS_r*.json
-    "ann_ivfpq_topk",
-    "matrix_stats",
-    "weighted_sample_topk",
-    "hll_merged_terms",
-    "cms_merged_counts",
-    "cms_term_counts",
-    "rescore_phrase_topk",
-    "ann_pq_topk",
-    "boosting_topk",
-    "curation_summary",
-    # round-4.7 additions: never in any CORRECTNESS_r*.json
-    "term_vectors",
-    "index_stats",
-    "term_vectors_from_index",
-    "index_stats_from_index",
-    "ann_sq_topk",
-    "dedup_keep_best",
-    "rank_feature_topk",
-    "event_transitions",
-    "funnel_conversion",
-    "json_props_stats",
-    "contamination_near_dup",
-    "histogram_pipeline",
-    "bm25f_topk_from_index",
-    "common_terms_topk",
-    "phrase_prefix_topk",
-    "hybrid_linear_topk",
-    "dsir_topk",
-    # round-4 (this round) additions: never in any CORRECTNESS_r*.json
-    "dedup_first_occurrence",
-    # round-4.6 additions: never in any CORRECTNESS_r*.json
-    "classic_tfidf_topk",
-    "dfi_topk",
-    "pl2_topk",
-    "dis_max_topk",
-    "facet_top_hits",
-    "range_facet_counts",
-    "phrase_suggest_collated",
-    "salsa_scores",
-    "quality_stratified_sample",
-    # round-4.5 additions: never in any CORRECTNESS_r*.json
-    "ordered_span_topk",
-    "wand_analyzed_topk",
-    "weighted_pagerank",
-    "trending_terms",
-    "collapsed_topk",
-    "dedup_containment",
-    "bm25_plus_topk",
-    "bm25l_topk",
-    "lmdir_topk",
-    "lmjm_topk",
-    "kmv_distinct_terms",
-    "hll_distinct_terms",
-    "conversation_stats",
+    # Regenerated for round 5 from docs/driver_coverage.md:
+    # oldest-driver-evidence-first so the driver's ~50-pair budget
+    # lands on the pairs with no CORRECTNESS row in any round, then
+    # the r2-stale pairs, then the r3/r4 rotation.
+    # never driver-checked in r1-r4 (judge sweep green) -- MUST land in r5
     "wildcard_topk",
     "wildcard_topk_from_index",
     "rocchio_topk",
@@ -1231,7 +1181,6 @@ _DRIVER_UNSEEN_FIRST = [
     "spell_suggest",
     "percolate_matches",
     "synonym_topk",
-    # never in any CORRECTNESS_r*.json (r3 judge sweep passed all of these)
     "conversation_topk",
     "bm25f_topk",
     "more_like_this",
@@ -1252,7 +1201,6 @@ _DRIVER_UNSEEN_FIRST = [
     "events_sessions",
     "search_query_boosted",
     "rbo_rank_similarity",
-    # new round-4 pairs (index-backed twins + batch serving)
     "more_like_this_from_index",
     "prf_topk_from_index",
     "fuzzy_topk_from_index",
@@ -1260,7 +1208,6 @@ _DRIVER_UNSEEN_FIRST = [
     "significant_terms_from_index",
     "substring_search_from_index",
     "wand_batch_topk",
-    # round-4 additions (never driver-checked)
     "recency_decay_topk",
     "turn_context_topk",
     "similar_docs_sparse",
@@ -1270,7 +1217,7 @@ _DRIVER_UNSEEN_FIRST = [
     "explain_scores_topk",
     "merged_index_topk",
     "pruned_index_topk",
-    # green in r2 but absent from r3's 50-row run
+    # last driver row: r2 (stale 3 rounds)
     "letor_parse",
     "ltr_pairwise_sample",
     "ltr_standardize",
@@ -1278,8 +1225,109 @@ _DRIVER_UNSEEN_FIRST = [
     "ltr_confusion_matrix",
     "multimodal_meta",
     "multimodal_decode",
+    # last driver row: r3
+    "doc_lengths",
+    "doc_term_frequencies",
+    "corpus_stats",
+    "term_idf",
+    "bm25_topk",
+    "wand_topk_from_index",
+    "wand_topk_after_delete",
+    "tf_stats",
+    "norm_tf_stats",
+    "tfidf_stats",
+    "covered_terms",
+    "events_topk_per_user",
+    "events_windowed_stats",
+    "join_metadata_agg",
+    "pairwise_examples",
+    "phrase_topk",
+    "phrase_topk_from_index",
+    "bm25_msm_topk",
+    "bm25_conjunctive_topk",
+    "bm25_topk_filtered",
+    "snippet_topk",
+    "proximity_topk",
+    "search_query_language",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "postings_positions",
+    "ann_gemm_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+    "text_repetition",
+    "ngram_contamination",
+    "text_fingerprint",
+    "pii_scrub",
+    "dataset_split",
+    "hybrid_rrf_topk",
+    "lm_cross_entropy",
+    "dataset_mix",
+    "pack_shards",
+    "bpe_piece_counts",
+    "pagerank",
+    "feature_vector",
+    "personalized_pagerank",
+    # last driver row: r4
+    "ann_ivfpq_topk",
+    "matrix_stats",
+    "weighted_sample_topk",
+    "hll_merged_terms",
+    "cms_merged_counts",
+    "cms_term_counts",
+    "rescore_phrase_topk",
+    "ann_pq_topk",
+    "boosting_topk",
+    "curation_summary",
+    "term_vectors",
+    "index_stats",
+    "term_vectors_from_index",
+    "index_stats_from_index",
+    "ann_sq_topk",
+    "dedup_keep_best",
+    "rank_feature_topk",
+    "event_transitions",
+    "funnel_conversion",
+    "json_props_stats",
+    "contamination_near_dup",
+    "histogram_pipeline",
+    "bm25f_topk_from_index",
+    "common_terms_topk",
+    "phrase_prefix_topk",
+    "hybrid_linear_topk",
+    "dsir_topk",
+    "dedup_first_occurrence",
+    "classic_tfidf_topk",
+    "dfi_topk",
+    "pl2_topk",
+    "dis_max_topk",
+    "facet_top_hits",
+    "range_facet_counts",
+    "phrase_suggest_collated",
+    "salsa_scores",
+    "quality_stratified_sample",
+    "ordered_span_topk",
+    "wand_analyzed_topk",
+    "weighted_pagerank",
+    "trending_terms",
+    "collapsed_topk",
+    "dedup_containment",
+    "bm25_plus_topk",
+    "bm25l_topk",
+    "lmdir_topk",
+    "lmjm_topk",
+    "kmv_distinct_terms",
+    "hll_distinct_terms",
+    "conversation_stats",
 ]
-
 
 def _reorder_registry() -> None:
     front = [n for n in _DRIVER_UNSEEN_FIRST if n in QUERIES]

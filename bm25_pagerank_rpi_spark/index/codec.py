@@ -237,6 +237,30 @@ def encode_sorted_run(
     }
 
 
+def _binary_from_offsets(
+    data: np.ndarray, offsets64: np.ndarray, nb: int
+) -> "pa.Array":
+    """Zero-copy pa.binary array over ``data`` sliced at ``offsets64``.
+
+    pa.binary() carries int32 offsets; a partition whose encoded buffer
+    exceeds 2 GiB would silently wrap and corrupt the index. The
+    TARGET_ENCODE_ROWS split is advisory, so fail loudly instead
+    (pinned by test_codec.py::test_binary_offsets_overflow_guard).
+    """
+    import pyarrow as pa
+
+    if offsets64.size and offsets64[-1] >= 2**31:
+        raise ValueError(
+            f"encoded block buffer {offsets64[-1]} bytes overflows int32 "
+            "binary offsets; lower rows-per-encode-batch for this build"
+        )
+    offsets = pa.array(offsets64.astype(np.int32), type=pa.int32())
+    buf = pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))
+    return pa.Array.from_buffers(
+        pa.binary(), nb, [None, offsets.buffers()[1], buf]
+    )
+
+
 def encode_sorted_run_arrow(
     terms,  # pa.Array[string]
     rids: np.ndarray,
@@ -319,19 +343,7 @@ def encode_sorted_run_arrow(
     bounds = np.append(bstarts, n)  # block byte-ranges are CONTIGUOUS
 
     def _binary(data: np.ndarray, offsets64: np.ndarray) -> pa.Array:
-        # pa.binary() carries int32 offsets; a partition whose encoded buffer
-        # exceeds 2 GiB would silently wrap and corrupt the index. The
-        # TARGET_ENCODE_ROWS split is advisory, so fail loudly instead.
-        if offsets64.size and offsets64[-1] >= 2**31:
-            raise ValueError(
-                f"encoded block buffer {offsets64[-1]} bytes overflows int32 "
-                "binary offsets; lower rows-per-encode-batch for this build"
-            )
-        offsets = pa.array(offsets64.astype(np.int32), type=pa.int32())
-        buf = pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))
-        return pa.Array.from_buffers(
-            pa.binary(), nb, [None, offsets.buffers()[1], buf]
-        )
+        return _binary_from_offsets(data, offsets64, nb)
 
     block_ids = (
         block_id_base + r[bstarts] * blocks_per_range + off[bstarts] // block_size

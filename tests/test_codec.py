@@ -303,3 +303,21 @@ def test_encode_sorted_run_arrow_dict_codes_path():
             assert all(a == b for a, b in zip(ov, nv)), c
         else:
             assert (ov == nv).all(), c
+
+
+def test_binary_offsets_overflow_guard():
+    # pa.binary() offsets are int32; a partition whose varint buffer crosses
+    # 2 GiB must fail loudly, never wrap. Fabricated offsets exercise the
+    # guard without allocating a real 2 GiB buffer (the check precedes any
+    # buffer construction).
+    import pyarrow as pa
+
+    data = np.zeros(16, dtype=np.uint8)
+    ok = codec._binary_from_offsets(
+        data, np.array([0, 8, 16], dtype=np.int64), 2
+    )
+    assert ok.type == pa.binary() and len(ok) == 2
+
+    bad = np.array([0, 2**31 - 1, 2**31], dtype=np.int64)
+    with pytest.raises(ValueError, match="overflows int32"):
+        codec._binary_from_offsets(data, bad, 2)
