@@ -1136,6 +1136,36 @@ def q_search_query_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(_docs(spark, sf_dir), QL_QUERY, k=20)
 
 
+# Negated-range corpus filter: -n_chars:[300 TO 900] keeps docs OUTSIDE the
+# inclusive range (NULL n_chars survives — a NULL never matches a range), and
+# the surviving corpus feeds stats/df/idf exactly like a positive filter.
+# Parser semantics pinned by tests/test_query_language.py::
+# test_parse_negated_range / test_search_negated_range_filters_corpus.
+QL_NEG_QUERY = "key value table -scan -n_chars:[300 TO 900]"
+_QL_NEG_WHERE = "NOT coalesce(n_chars >= 300 AND n_chars <= 900, FALSE)"
+
+ORACLE_QL_NEG = _sql_skeleton(["key", "value", "table"], where=_QL_NEG_WHERE) + f"""
+, gates AS (
+  SELECT doc_id,
+         NOT list_contains(
+           list_filter(string_split(text, ' '), x -> x <> ''), 'scan') AS ok
+  FROM documents WHERE {_QL_NEG_WHERE}
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT p.doc_id, round(p.bm25, 6) AS bm25,
+         row_number() OVER (ORDER BY round(p.bm25, 6) DESC, p.doc_id ASC)::INT AS rank
+  FROM perdoc p JOIN gates g ON g.doc_id = p.doc_id AND g.ok
+) WHERE rank <= 20
+"""
+
+
+@register("search_query_negated_range", ORACLE_QL_NEG)
+def q_search_query_negated_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.query_language import search
+
+    return search(_docs(spark, sf_dir), QL_NEG_QUERY, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Flagship for entry(): BM25 top-20 on sf0.001 documents
 # ---------------------------------------------------------------------------
@@ -1171,6 +1201,8 @@ _DRIVER_UNSEEN_FIRST = [
     # lands on the pairs with no CORRECTNESS row in any round, then
     # the r2-stale pairs, then the r3/r4 rotation.
     # never driver-checked in r1-r4 (judge sweep green) -- MUST land in r5
+    "search_query_negated_range",
+    "multimodal_decode_real",
     "wildcard_topk",
     "wildcard_topk_from_index",
     "rocchio_topk",

@@ -247,3 +247,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "media_type", "n_bytes", _r("byte_mean").alias("byte_mean")
     )
+
+
+@register(
+    "multimodal_decode_real",
+    """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE ((doc_id % 8 + 1) * 160) END::INT AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE ((doc_id % 8 + 1) * 90) END::INT AS height,
+       CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 8 END::INT AS bit_depth,
+       CASE WHEN doc_id % 4 = 3 THEN (doc_id % 8) // 4 + 1
+            ELSE NULL END::INT AS channels,
+       CASE WHEN doc_id % 4 = 3 THEN 8000 * (doc_id % 3 + 1)
+            ELSE NULL END::INT AS sample_rate,
+       CASE doc_id % 4 WHEN 0 THEN 45 WHEN 1 THEN 41
+                       WHEN 2 THEN 13 ELSE 44 END::INT AS n_bytes
+FROM documents
+""",
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips REAL container bytes: media_table_real synthesizes
+    header-complete PNG/JPEG/GIF/WAV payloads deterministically from
+    doc_id inside an Arrow kernel, decode_media(real=True) parses them
+    back with the pure-Python header decoders, and the oracle recomputes
+    the expected metadata closed-form from doc_id — so a parser bug
+    (endianness, offset, CRC) breaks the hash match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_media(multimodal.media_table_real(docs), real=True)

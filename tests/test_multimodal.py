@@ -47,13 +47,54 @@ def test_decode_features_match_numpy(spark):
             assert r.byte_mean == 0.0 and r.feature == [0.0] * multimodal.FEATURE_DIM
 
 
-def test_real_decoder_seam_raises(spark):
-    media = multimodal.media_table(_docs(spark))
-    with pytest.raises(Exception) as exc_info:
-        multimodal.decode_media(media, real=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+def test_header_parse_round_trip():
+    # every synthesized container parses back to its construction params
+    for d in range(16):
+        p = multimodal.make_media_payload(d)
+        fmt, w, h, depth, ch, sr = multimodal.parse_media_header(p)
+        assert fmt == ("png", "jpeg", "gif", "wav")[d % 4]
+        if fmt == "wav":
+            assert (w, h) == (None, None)
+            assert depth == 16
+            assert ch == (d % 8) // 4 + 1
+            assert sr == 8000 * (d % 3 + 1)
+        else:
+            assert w == (d % 8 + 1) * 160 and h == (d % 8 + 1) * 90
+            assert depth == 8 and ch is None and sr is None
+
+
+def test_header_parse_rejects_corrupt():
+    none6 = (None,) * 6
+    assert multimodal.parse_media_header(b"") == none6
+    assert multimodal.parse_media_header(None) == none6
+    assert multimodal.parse_media_header(b"not an image at all") == none6
+    # truncated PNG signature only
+    assert multimodal.parse_media_header(b"\x89PNG\r\n\x1a\n\x00\x00") == none6
+    # CRC-corrupted PNG IHDR must NOT yield dimensions
+    bad = bytearray(multimodal.make_media_payload(0))
+    bad[20] ^= 0xFF
+    assert multimodal.parse_media_header(bytes(bad)) == none6
+    # JPEG with no SOF before EOI
+    assert multimodal.parse_media_header(b"\xff\xd8\xff\xd9") == none6
+
+
+def test_real_decode_spark_round_trip(spark):
+    media = multimodal.media_table_real(_docs(spark))
+    rows = {
+        r.doc_id: r
+        for r in multimodal.decode_media(media, real=True).collect()
+    }
+    for d, r in rows.items():
+        fmt, w, h, depth, ch, sr = multimodal.parse_media_header(
+            multimodal.make_media_payload(d)
+        )
+        assert (r.fmt, r.width, r.height, r.bit_depth, r.channels,
+                r.sample_rate) == (fmt, w, h, depth, ch, sr)
+        assert r.n_bytes == len(multimodal.make_media_payload(d))
+    # a non-container payload decodes to NULLs, not an error
+    junk = multimodal.media_table(_docs(spark))  # utf-8 text payloads
+    out = multimodal.decode_media(junk, real=True).collect()
+    assert all(r.fmt is None and r.width is None for r in out)
 
 
 def test_metadata_stats_prune_payload(spark):
