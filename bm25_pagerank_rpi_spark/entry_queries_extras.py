@@ -918,7 +918,8 @@ codes AS (
     FROM dist
   ) WHERE rn = 1
 ),
-pqn AS (SELECT vec_id, sqrt(sum(cn2)) AS pq_nrm FROM codes GROUP BY vec_id),
+pqn AS (SELECT vec_id, sqrt(list_sum(list(cn2 ORDER BY j))) AS pq_nrm
+       FROM codes GROUP BY vec_id),
 q AS (
   SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
   FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
@@ -928,7 +929,8 @@ qsub AS (
   FROM q, unnest(generate_series(0, {similarity.PQ_M - 1})) AS s(j)
 ),
 adc AS (
-  SELECT qs.query_id, c.vec_id, sum(list_dot_product(qs.qsv, b.c)) AS adc
+  SELECT qs.query_id, c.vec_id,
+         list_sum(list(list_dot_product(qs.qsv, b.c) ORDER BY c.j)) AS adc
   FROM codes c
   JOIN books b ON b.j = c.j AND b.cid = c.cid
   JOIN qsub qs ON qs.j = c.j
@@ -1011,7 +1013,8 @@ codes AS (
     FROM dist
   ) WHERE rn = 1
 ),
-pqn AS (SELECT vec_id, sqrt(sum(cn2)) AS pq_nrm FROM codes GROUP BY vec_id),
+pqn AS (SELECT vec_id, sqrt(list_sum(list(cn2 ORDER BY j))) AS pq_nrm
+       FROM codes GROUP BY vec_id),
 q AS (
   SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
   FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
@@ -1030,7 +1033,8 @@ cand0 AS (
   WHERE a.vec_id <> qp.query_id
 ),
 adc AS (
-  SELECT c0.query_id, c0.vec_id, sum(list_dot_product(qs.qsv, b.c)) AS adc
+  SELECT c0.query_id, c0.vec_id,
+         list_sum(list(list_dot_product(qs.qsv, b.c) ORDER BY c.j)) AS adc
   FROM cand0 c0
   JOIN codes c ON c.vec_id = c0.vec_id
   JOIN books b ON b.j = c.j AND b.cid = c.cid

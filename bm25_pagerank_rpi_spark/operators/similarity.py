@@ -355,8 +355,14 @@ def kmeans_centroids(
     if total == 0:
         return ivf_centroids(n=n)
     mod = max(1, total // sample)
+    # orderBy before limit: the hash filter alone can match more than
+    # ``sample`` rows, and a bare limit truncates in partition order —
+    # making the collected set (and the rng.choice seeding that consumes
+    # its row order) vary across partitionings. Sort+limit collapses to
+    # TakeOrderedAndProject, so determinism costs one per-partition top-k.
     rows = (
         vecs.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+        .orderBy("vec_id")
         .limit(sample)
         .collect()
     )
@@ -711,7 +717,9 @@ def pq_encode(emb: DataFrame, books: list | None = None) -> DataFrame:
         )
         code_cols.append(F.array_sort(scored)[0]["c"].alias(f"code{j}"))
     enc = df.select("vec_id", "v", "nrm", *code_cols)
-    # fixed left-to-right addition order (matches the oracle's rounded sum)
+    # fixed j-ascending addition order; the DuckDB oracle pins the same
+    # order via list_sum(list(... ORDER BY j)) rather than a bare SUM(),
+    # so the 6-dp-rounded scores agree by construction, not by luck
     pq_n2 = None
     for j, book in enumerate(books):
         cn2s = F.array(*[F.lit(_cn2(c)) for c in book])
@@ -810,8 +818,14 @@ def pq_codebooks_kmeans(
     if total == 0:
         return pq_codebooks(m=m, k=k)
     mod = max(1, total // sample)
+    # orderBy before limit: the hash filter alone can match more than
+    # ``sample`` rows, and a bare limit truncates in partition order —
+    # making the collected set (and the rng.choice seeding that consumes
+    # its row order) vary across partitionings. Sort+limit collapses to
+    # TakeOrderedAndProject, so determinism costs one per-partition top-k.
     rows = (
         vecs.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+        .orderBy("vec_id")
         .limit(sample)
         .collect()
     )

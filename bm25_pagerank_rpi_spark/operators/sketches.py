@@ -195,9 +195,10 @@ def cms_point_estimates(
     always >= the true occurrence count, and over by more than (e/w)*N
     with probability <= e^-d. ``items`` is a driver-side candidate list
     (in practice: a sampled or domain-known head set — the sketch answers
-    "how often", not "which items"); it broadcasts against the d*w-row
-    counter table, so the probe costs nothing at corpus scale. Untouched
-    buckets estimate 0 via the left-join coalesce."""
+    "how often", not "which items"); the sketch-sized (d*w-row) counter
+    table is the broadcast build side of the probe join, so the probe
+    costs nothing at corpus scale. Untouched buckets estimate 0 via the
+    left-join coalesce."""
     return cms_point_estimates_from_counters(
         cms_counters(values, col, d, w), items, d, w
     )
@@ -230,8 +231,13 @@ def cms_point_estimates_from_counters(
     probes = idf.select(
         "item", F.posexplode(F.array(*probe_buckets)).alias("j", "bucket")
     )
+    # probes preserved on the LEFT, counters broadcast on the right: Spark
+    # cannot broadcast the stream-preserved side of a right-outer join, so
+    # the previous cnt.join(broadcast(probes), 'right') spelling silently
+    # ignored the hint. The counter table is sketch-sized (<= d*w rows)
+    # by construction, so it is the correct build side at any corpus size.
     return (
-        cnt.join(F.broadcast(probes), ["j", "bucket"], "right")
+        probes.join(F.broadcast(cnt), ["j", "bucket"], "left")
         .groupBy("item")
         .agg(F.min(F.coalesce("counter", F.lit(0).cast("long"))).alias("estimate"))
     )

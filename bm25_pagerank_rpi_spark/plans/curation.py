@@ -106,7 +106,12 @@ def curate(
     upstream chain, so without a materialization barrier every
     downstream action re-executes every upstream stage once per
     broadcast build — measured ~5x cost growth PER STAGE (exponential
-    in pipeline depth) on the unpersisted lineage."""
+    in pipeline depth) on the unpersisted lineage.
+
+    When done with the result, call :func:`release` on it (or unpersist
+    the four stage frames yourself) — a long-lived session that calls
+    ``curate`` repeatedly would otherwise accumulate cached relations
+    until executor storage evicts them."""
     s1 = _drop_exact_duplicates(docs)
     if persist:
         s1 = s1.persist()
@@ -134,6 +139,18 @@ def curate(
     }
 
 
+_PERSISTED_STAGES = ("exact_dedup", "near_dup", "quality", "decontaminate")
+
+
+def release(stages: dict[str, DataFrame]) -> None:
+    """Unpersist the stage relations :func:`curate` cached
+    (non-blocking; safe to call whether or not persist=True was used)."""
+    for name in _PERSISTED_STAGES:
+        df = stages.get(name)
+        if df is not None:
+            df.unpersist()
+
+
 def curation_summary(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -143,7 +160,12 @@ def curation_summary(
     DataFrame: per-stage survivor counts, then one row per split with
     docs_in = final survivor count. Each row is a crossJoin of two
     1-row count aggregates (broadcast), so the whole summary is a union
-    of tiny frames over the shared stage lineage."""
+    of tiny frames over the shared stage lineage.
+
+    Each call persists the four stage relations (see :func:`curate`);
+    a long-lived session invoking this repeatedly should instead call
+    ``curate`` directly and :func:`release` the stages after consuming
+    the summary, or pass ``persist=False``."""
     stages = curate(docs, benchmark, **kwargs)
     order = ["exact_dedup", "near_dup", "quality", "decontaminate"]
     frames = []

@@ -828,7 +828,19 @@ def build_index(
     # ---- stage 3: blocks ----------------------------------------------------
     def stage_blocks():
         _, avgdl = cat.scalar_stats()
-        post = cat.postings()
+        # Run the encode under a CLONED session (shared SparkContext,
+        # isolated SQLConf): larger Arrow batches amortize the per-batch
+        # boundary scan and pending-group concat in the encoder (default
+        # 10k rows => ~75 batches per task here), and scoping the override
+        # to the clone means a concurrent job on the build's own session —
+        # e.g. a streaming incremental encode in another thread — keeps the
+        # default Arrow batch size (pinned by
+        # test_streaming_incremental.py::test_build_batch_size_isolated).
+        iso = spark.newSession()
+        iso.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 19)
+        )
+        post = iso.read.parquet(cat.path("postings"))
         tfd = F.col("tf").cast("double")
         dl = F.col("doc_length").cast("double")
         factor = (tfd * F.lit(K1 + 1.0)) / (
@@ -859,26 +871,7 @@ def build_index(
                 F.pmod(F.col("block_id"), F.lit(max(1, (spark.sparkContext.defaultParallelism * 2) // n_buckets))),
             )
         )
-        # larger Arrow batches amortize the per-batch boundary scan and
-        # pending-group concat in the encoder (default 10k rows => ~75
-        # batches per task here); restored after the stage so pandas UDF
-        # consumers elsewhere keep the default memory envelope.
-        # CAVEAT: spark.conf is session-global — a concurrent job on the
-        # same SparkSession (e.g. a streaming incremental encode in another
-        # thread) would inherit the larger batch size for the duration of
-        # this write. The batch build owns its session today; if concurrent
-        # use becomes supported, run builds in a cloned session
-        # (spark.newSession()) whose conf mutations are isolated.
-        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        prev_batch = spark.conf.get(batch_key, None)
-        spark.conf.set(batch_key, str(1 << 19))
-        try:
-            out, n = cat.write_counted(blocks, "blocks", partition_by=["bucket"])
-        finally:
-            if prev_batch is None:
-                spark.conf.unset(batch_key)
-            else:
-                spark.conf.set(batch_key, prev_batch)
+        out, n = cat.write_counted(blocks, "blocks", partition_by=["bucket"])
         return out, n, {"blocks": n}
 
     run_stage("blocks", stage_blocks)

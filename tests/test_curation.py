@@ -63,3 +63,20 @@ def test_curation_summary_counts_are_consistent(spark):
     split_total = sum(v[1] for k, v in rows.items() if k.startswith("split_"))
     assert split_total == final
     assert all(v[0] == final for k, v in rows.items() if k.startswith("split_"))
+
+
+def test_curate_release_unpersists_stages(spark):
+    docs = _corpus(spark)
+    bench = docs.filter(F.col("doc_id") == 2)
+    stages = curation.curate(docs, bench, jaccard_threshold=0.5)
+    stages["split"].count()  # materialize the chain (and the caches)
+    cached = [stages[n] for n in curation._PERSISTED_STAGES]
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
+    curation.release(stages)
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        for df in cached
+    )
+    # idempotent and persist=False-safe
+    curation.release(stages)
+    curation.release(curation.curate(docs, bench, persist=False))

@@ -298,3 +298,48 @@ def test_minor_compaction_merges_fragments_bit_identical(spark, tmp_path):
     m = cat.read_manifest()
     assert m["delta_gens"] == 0
     assert m["encodes"][-1]["type"] == "minor"
+
+
+def test_build_batch_size_isolated(spark, tmp_path):
+    """The batch build enlarges the Arrow batch size only inside a cloned
+    session (plans/index_build.py stage_blocks); a concurrent consumer on
+    the build's own session must keep the default Arrow batch envelope.
+
+    Observed end-to-end: a mapInPandas over 25k rows on the main session
+    yields >=2 batches under the 10k default, but would collapse to ONE
+    batch if the build's 2^19-row override leaked session-globally."""
+    from bm25_pagerank_rpi_spark.plans.index_build import build_index
+
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    assert spark.conf.get(batch_key, "10000") in ("10000", None)
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c%d" % (i % 7), i // 7, "user", "hash join table t%d" % (i % 11),
+             "none", datetime.datetime(2025, 1, 1))
+            for i in range(200)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    build_index(spark, transcripts, str(tmp_path / "idx"), n_buckets=4)
+
+    # after the build the main session still reports the default…
+    assert spark.conf.get(batch_key, "10000") in ("10000", None)
+
+    # …and a real Arrow exchange on the main session still batches at the
+    # default size (the conf is read at execution time, so this also
+    # guards against a leaked-but-unreported thread-local override).
+    def count_batches(batches):
+        import pandas as pd
+
+        sizes = [len(b) for b in batches]
+        yield pd.DataFrame({"n_batches": [len(sizes)], "max_rows": [max(sizes)]})
+
+    got = (
+        spark.range(25_000)
+        .coalesce(1)
+        .mapInPandas(count_batches, "n_batches int, max_rows int")
+        .collect()
+    )
+    assert got[0].max_rows <= 10_000
+    assert got[0].n_batches >= 2
