@@ -65,13 +65,17 @@ def run_level(cores: int, replicas: int, sf_dir: str) -> dict:
         # size" runs all measured the same 500k-turn corpus)
         BENCH_INDEX_DIR=f"{base}/index_c{cores}_z{zipf}_r{replicas}",
         SPARK_GRAFT_LOCAL_DIR=f"{base}/local_c{cores}",
-        # resources scale WITH the cluster: a 4N-executor cluster has 4x
-        # the total memory, so the stand-in JVM heap scales per core. A
-        # uniform 4g/core keeps the two legs PROPORTIONAL — the previous
-        # 1.5g/core with an 8g floor silently gave the lo leg 4g/core but
-        # the hi leg 1.5g/core, handicapping the allocation-heavy encode
-        # stages at 4N and understating scaling (run-5 diagnosis)
-        SPARK_DRIVER_MEM=f"{max(4 * cores, 8)}g",
+        # EQUAL fixed heap for both legs (round-5 diagnosis): a real 4N
+        # cluster has 4x as many JVMs of the SAME size, not one 4x-bigger
+        # JVM — and a giant single heap is actively pathological: at 32
+        # cores the previous 4g/core rule allocated 128g and the
+        # doc_meta stage ran 37.6s vs 9.5s at 24g (GC/ergonomics
+        # artifact, measured 2026-08-21), silently destroying the hi
+        # leg. 16g is the measured sweet spot for this job at every
+        # level (8g spills at 8 cores: 83.8s vs 74.2s at 16g; 32g buys
+        # nothing over 16g); override with SCALING_HEAP if the job
+        # changes shape.
+        SPARK_DRIVER_MEM=os.environ.get("SCALING_HEAP", "16g"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -284,8 +288,10 @@ Same input ({lo['turns']} turns synthesized from {sf_dir},
 replicas={replicas}), same job (full index build: doc_meta -> postings
 -> compressed blocks -> terms -> metrics), two parallelism levels.
 local[N] cores stand in for N executors (no real cluster in sandbox);
-JVM heap and shuffle dirs scale with the level (a 4N cluster has 4x the
-memory and its own disks — tmpfs models per-executor local storage).
+both legs run the SAME fixed JVM heap (a real 4N cluster has 4x as many
+same-size JVMs, and an oversized single heap measurably corrupts the hi
+leg — see the round-5 heap note); tmpfs shuffle dirs model per-executor
+local storage.
 
 Hardware ceilings measured in the SAME window (pre/post the job runs —
 a large pre/post gap flags a drifting window):
