@@ -856,7 +856,23 @@ def build_index(
         ranged = with_range_routing(
             post.withColumn("factor", factor), range_rows, tail_df_threshold
         )
-        npart = max(spark.sparkContext.defaultParallelism * 2, 8)
+        # Encode-shuffle sizing is DATA-driven, not core-driven: the old
+        # cores*2 rule gave 8 cores only 16 partitions (2 task waves), so
+        # any skew in a wave became a straggler tail — measured 41.7s vs
+        # 35.1s/32.8s at 32/128 partitions on the same 64M-posting input
+        # (2026-08-21 A/B; the 2-core leg also improved 101.1s -> 95.3s).
+        # Bound rows/task (~TARGET_ENCODE_ROWS * 2/3 keeps the encoder's
+        # in-task buffer at the same envelope), floor at 2 waves per core
+        # for small inputs, cap at 16x parallelism so a 1000-executor
+        # cluster doesn't shuffle into millions of slivers.
+        par = spark.sparkContext.defaultParallelism
+        n_post = int(
+            cat.read_manifest()["stages"]["postings"]["rows"] or 0
+        )
+        npart = min(
+            max(math.ceil(max(n_post, 1) / 2_000_000), par * 2, 8),
+            par * 16,
+        )
         blocks = (
             ranged.select("term", "range_id", "doc_int", "tf", "factor")
             .repartition(npart, "term", "range_id")

@@ -57,7 +57,9 @@ spark.stop()
 
 def run_worker(cores: int, src: str, work: str) -> dict:
     code = WORKER.format(repo=REPO)
-    env = dict(os.environ, SPARK_DRIVER_MEM=f"{max(int(1.5 * cores), 8)}g")
+    # equal fixed heap per leg — see tools/scaling.py round-5 heap note
+    # (an oversized single-JVM heap measurably corrupts the hi leg)
+    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SCALING_HEAP", "16g"))
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), src, work],
         capture_output=True, text=True, cwd=REPO, env=env,
