@@ -301,7 +301,13 @@ def main() -> None:
     post_bw = extra_metrics["window_post"]["memcpy_mbps"]
     if os.environ.get("BENCH_FORCE_COLLAPSED"):  # harness self-test switch
         post_bw = 0
+    # the clean band on this host is ~5-8 GB/s memcpy; a window where BOTH
+    # probes sit far below it is uniformly throttled — timings then
+    # describe the host, not the code, even though pre/post agree
+    NOMINAL_CLEAN_MBPS = 2000
     window = "clean"
+    if max(pre_bw, post_bw) < NOMINAL_CLEAN_MBPS:
+        window = "throttled"
     if post_bw < 0.5 * pre_bw:
         window = "collapsed"
         first_pass = {}
