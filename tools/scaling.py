@@ -32,6 +32,7 @@ def window_probe() -> dict:
 
     a = np.empty(3_000_000, dtype=np.float64)
     a[:] = 1.0
+    a.copy()  # untimed warm-up: first copy pays allocator/page-fault cost
     t0 = time.time()
     for _ in range(4):
         a.copy()
